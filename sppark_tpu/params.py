@@ -1,0 +1,313 @@
+"""Field and curve parameter definitions for sppark-tpu.
+
+Every constant here is *derived* from the published mathematical definition of
+the field/curve (modulus, multiplicative generator, curve coefficient) and is
+cross-checked by tests against the derived Montgomery forms used by the
+reference wire format (see tests/test_params.py).
+
+Reference parity notes (file:line cites into /root/reference):
+  - Montgomery radix R = 2^(32 * ceil(bits/32) rounded to the reference limb
+    count): the reference stores 256-bit fields in 8x32-bit limbs with
+    R = 2^256 (ff/mont_t.cuh:33-36) and 384-bit fields (BLS12-381/377 fp) in
+    12x32 limbs with R = 2^384.  Our 16-bit device limbs use the *same* R, so
+    Montgomery wire forms match the reference bit-exactly.
+  - BabyBear: mont32_t<31, 0x78000001, 0x77ffffff, 0x45dddde3, 0x0ffffffe>
+    (ff/baby_bear.hpp:19); canonical generator 31 (ntt/parameters/baby_bear.h:9).
+  - Mersenne-31: mont32_t<31, 0x7fffffff, 0x80000001, 4, 2> (ff/mersenne31.hpp:14).
+  - Goldilocks: p = 2^64 - 2^32 + 1, NOT Montgomery (ff/gl64_t.cuh:39);
+    canonical generator 7, plonky2 alternative 0xc65c18b67785d900
+    (ntt/parameters/goldilocks.h:9,86).
+  - NTT root tables: forward_roots_of_unity[s] = g^((p-1)/2^s); we derive them
+    rather than tabulate (ntt/parameters/*.h carry the same values).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldParams:
+    """Static description of a prime field (or the base prime of a tower)."""
+
+    name: str
+    modulus: int
+    #: generator of the full multiplicative group F_p^* ("group_gen" in the
+    #: reference NTT tables; also the LDE coset generator).
+    generator: int
+    #: True if the canonical wire format is Montgomery form (all mont_t /
+    #: mont32_t fields); False for Goldilocks (raw u64, ff/gl64_t.cuh:56).
+    montgomery_wire: bool = True
+    #: reference limb width in bits for R = 2^(limb_bits * n_ref_limbs)
+    ref_limb_bits: int = 32
+    #: maximum lg2 NTT domain (ntt/parameters.cuh:11-19); 0 = no NTT support
+    max_lg_domain: int = 0
+
+    @property
+    def bits(self) -> int:
+        return self.modulus.bit_length()
+
+    @property
+    def n_ref_limbs(self) -> int:
+        """Number of reference 32-bit limbs (mont_t: n=(N+31)/32, even, >=4 for
+        big fields; 1 for mont32_t; 2 for gl64)."""
+        if self.ref_limb_bits == 32 and self.bits <= 32:
+            return 1
+        n = (self.bits + 31) // 32
+        if n >= 4 and n % 2:
+            n += 1  # mont_t requires even n (ff/mont_t.cuh:35)
+        return n
+
+    @property
+    def mont_bits(self) -> int:
+        """R = 2^mont_bits."""
+        return 32 * self.n_ref_limbs
+
+    @property
+    def R(self) -> int:
+        return 1 << self.mont_bits
+
+    @property
+    def RR(self) -> int:
+        return self.R * self.R % self.modulus
+
+    @property
+    def one_mont(self) -> int:
+        return self.R % self.modulus
+
+    @property
+    def two_adicity(self) -> int:
+        """s such that 2^s || (p - 1)."""
+        t = self.modulus - 1
+        s = 0
+        while t % 2 == 0:
+            t //= 2
+            s += 1
+        return s
+
+    def m0(self, word_bits: int) -> int:
+        """-p^-1 mod 2^word_bits (the Montgomery M0 constant)."""
+        return (-pow(self.modulus, -1, 1 << word_bits)) % (1 << word_bits)
+
+    @functools.lru_cache(maxsize=None)
+    def root_of_unity(self, lg_domain: int) -> int:
+        """Canonical (non-Montgomery) primitive 2^lg_domain-th root of unity:
+        g^((p-1)/2^lg_domain).  Matches ntt/parameters/*.h forward tables."""
+        if lg_domain > self.two_adicity:
+            raise ValueError(
+                f"{self.name}: lg_domain {lg_domain} > two-adicity {self.two_adicity}")
+        return pow(self.generator, (self.modulus - 1) >> lg_domain, self.modulus)
+
+    def inv_root_of_unity(self, lg_domain: int) -> int:
+        return pow(self.root_of_unity(lg_domain), self.modulus - 2, self.modulus)
+
+    def domain_size_inverse(self, lg_domain: int) -> int:
+        """1 / 2^lg_domain mod p (ntt/parameters/*.h domain_size_inverse)."""
+        return pow((1 << lg_domain) % self.modulus, self.modulus - 2, self.modulus)
+
+    def to_mont(self, a: int) -> int:
+        return a * self.R % self.modulus
+
+    def from_mont(self, a: int) -> int:
+        return a * pow(self.R, -1, self.modulus) % self.modulus
+
+
+@dataclasses.dataclass(frozen=True)
+class Fp2Params:
+    """Quadratic extension F_p[u]/(u^2 - nonresidue).
+
+    The reference represents fp2 as a warp lane pair (ff/alt_bn128-fp2.hpp:25);
+    we represent it as an explicit leading coefficient axis.
+    """
+
+    name: str
+    base: FieldParams
+    #: u^2 = nonresidue (mod p); -1 for BN254/BLS12-381, -5 for BLS12-377.
+    nonresidue: int
+
+
+@dataclasses.dataclass(frozen=True)
+class CurveParams:
+    """Short Weierstrass curve y^2 = x^3 + a4*x + b over `field`, with scalar
+    field `scalar`.  All supported curves have a4 == 0 (the reference's
+    jacobian_t/xyzz_t templates allow a4 != 0 but no in-tree instantiation
+    uses it)."""
+
+    name: str
+    field: FieldParams
+    scalar: FieldParams
+    b: int
+    a4: int = 0
+    #: for G2: base is an Fp2 and b has two coefficients
+    fp2: Optional[Fp2Params] = None
+    b_c1: int = 0  # imaginary part of b for G2 curves
+    #: cofactor h = #E / r — multiplied in when sampling test points so they
+    #: land in the prime-order subgroup the scalar field acts on.
+    cofactor: int = 1
+
+
+# ---------------------------------------------------------------------------
+# Small fields
+# ---------------------------------------------------------------------------
+
+BABY_BEAR = FieldParams(
+    name="baby_bear",
+    modulus=0x78000001,          # 15 * 2^27 + 1
+    generator=31,                # ntt/parameters/baby_bear.h:9 (canonical)
+    max_lg_domain=27,
+)
+
+# RISC-Zero convention uses generator 3 (ntt/parameters/baby_bear.h:78)
+BABY_BEAR_RISC0 = dataclasses.replace(BABY_BEAR, name="baby_bear_risc0", generator=3)
+
+MERSENNE31 = FieldParams(
+    name="mersenne31",
+    modulus=(1 << 31) - 1,
+    generator=7,                 # any generator; mrs31 has no 2-adic NTT
+    max_lg_domain=0,
+)
+
+GOLDILOCKS = FieldParams(
+    name="goldilocks",
+    modulus=(1 << 64) - (1 << 32) + 1,
+    generator=7,                 # ntt/parameters/goldilocks.h:86 (canonical)
+    montgomery_wire=False,       # gl64_t is not Montgomery (ff/gl64_t.cuh:39)
+    max_lg_domain=32,
+)
+
+GOLDILOCKS_PLONKY2 = dataclasses.replace(
+    GOLDILOCKS, name="goldilocks_plonky2", generator=0xC65C18B67785D900)
+
+# ---------------------------------------------------------------------------
+# 256-bit scalar fields (fr) and base fields (fp)
+# ---------------------------------------------------------------------------
+
+BN254_FR = FieldParams(
+    name="bn254_fr",
+    modulus=21888242871839275222246405745257275088548364400416034343698204186575808495617,
+    generator=5,                 # verified against ntt/parameters/alt_bn128.h:11
+    max_lg_domain=28,
+)
+
+BN254_FP = FieldParams(
+    name="bn254_fp",
+    modulus=21888242871839275222246405745257275088696311157297823662689037894645226208583,
+    generator=3,
+)
+
+BLS12_381_FR = FieldParams(
+    name="bls12_381_fr",
+    modulus=0x73EDA753299D7D483339D80809A1D80553BDA402FFFE5BFEFFFFFFFF00000001,
+    generator=7,                 # verified against ntt/parameters/bls12_381.h:11
+    max_lg_domain=28,
+)
+
+BLS12_381_FP = FieldParams(
+    name="bls12_381_fp",
+    modulus=0x1A0111EA397FE69A4B1BA7B6434BACD764774B84F38512BF6730D2A0F6B0F6241EABFFFEB153FFFFB9FEFFFFFFFFAAAB,
+    generator=2,
+)
+
+BLS12_377_FR = FieldParams(
+    name="bls12_377_fr",
+    modulus=0x12AB655E9A2CA55660B44D1E5C37B00159AA76FED00000010A11800000000001,
+    generator=22,                # verified against ntt/parameters/bls12_377.h:11
+    max_lg_domain=28,            # field supports 47; reference caps domains at 28
+)
+
+BLS12_377_FP = FieldParams(
+    name="bls12_377_fp",
+    modulus=0x1AE3A4617C510EAC63B05C06CA1493B1A22D9F300F5138F1EF3622FBA094800170B5D44300000008508C00000000001,
+    generator=15,
+)
+
+PALLAS_P = FieldParams(
+    # Base field of the Pallas curve == scalar field of Vesta ("pallas_t")
+    name="pallas",
+    modulus=0x40000000000000000000000000000000224698FC094CF91B992D30ED00000001,
+    generator=5,                 # verified against ntt/parameters/pallas.h:11
+    max_lg_domain=28,
+)
+
+VESTA_Q = FieldParams(
+    # Base field of the Vesta curve == scalar field of Pallas ("vesta_t")
+    name="vesta",
+    modulus=0x40000000000000000000000000000000224698FC0994A8DD8C46EB2100000001,
+    generator=5,                 # verified against ntt/parameters/vesta.h:11
+    max_lg_domain=28,
+)
+
+# ---------------------------------------------------------------------------
+# Quadratic extensions (G2 base fields)
+# ---------------------------------------------------------------------------
+
+BN254_FP2 = Fp2Params("bn254_fp2", BN254_FP, BN254_FP.modulus - 1)          # u^2 = -1
+BLS12_381_FP2 = Fp2Params("bls12_381_fp2", BLS12_381_FP, BLS12_381_FP.modulus - 1)
+BLS12_377_FP2 = Fp2Params("bls12_377_fp2", BLS12_377_FP, BLS12_377_FP.modulus - 5)  # u^2 = -5
+
+# ---------------------------------------------------------------------------
+# Curves
+# ---------------------------------------------------------------------------
+
+BN254_G1 = CurveParams("bn254", BN254_FP, BN254_FR, b=3)  # prime order, h=1
+BLS12_381_G1 = CurveParams("bls12_381", BLS12_381_FP, BLS12_381_FR, b=4,
+                           cofactor=0x396C8C005555E1568C00AAAB0000AAAB)
+BLS12_377_G1 = CurveParams("bls12_377", BLS12_377_FP, BLS12_377_FR, b=1,
+                           cofactor=0x170B5D44300000000000000000000000)
+PALLAS_G1 = CurveParams("pallas", PALLAS_P, VESTA_Q, b=5)   # h=1
+VESTA_G1 = CurveParams("vesta", VESTA_Q, PALLAS_P, b=5)     # h=1
+
+# G2 curves: b in Fp2.
+_381_b2 = 4
+BLS12_381_G2 = CurveParams(
+    "bls12_381_g2", BLS12_381_FP, BLS12_381_FR,
+    b=_381_b2, b_c1=_381_b2, fp2=BLS12_381_FP2,
+    cofactor=0x5D543A95414E7F1091D50792876A202CD91DE4547085ABAA68A205B2E5A7DDFA628F1CB4D9E82EF21537E293A6691AE1616EC6E786F0C70CF1C38E31C7238E5)
+# BN254 G2: b2 = 3 / (9 + u)
+_bn_p = BN254_FP.modulus
+_bn_denom_norm = pow(9 * 9 + 1, -1, _bn_p)  # 1/(81 - nonresidue) with nr=-1
+_bn_b2_c0 = 3 * 9 * _bn_denom_norm % _bn_p
+_bn_b2_c1 = (-3) * _bn_denom_norm % _bn_p
+BN254_G2 = CurveParams(
+    "bn254_g2", BN254_FP, BN254_FR,
+    b=_bn_b2_c0, b_c1=_bn_b2_c1, fp2=BN254_FP2,
+    cofactor=21888242871839275222246405745257275088844257914179612981679871602714643921549)
+# BLS12-377 G2: b2 = 1 / u  (i.e. 0 + (1/nonresidue) * u... canonical value)
+_377_p = BLS12_377_FP.modulus
+_377_b2_c1 = 155198655607781456406391640216936120121836107652948796323930557600032281009004493664981332883744016074664192874906 % _377_p
+BLS12_377_G2 = CurveParams(
+    "bls12_377_g2", BLS12_377_FP, BLS12_377_FR,
+    b=0, b_c1=_377_b2_c1, fp2=BLS12_377_FP2,
+    cofactor=0x26BA558AE9562ADDD88D99A6F6A829FBB36B00E1DCC40C8C505634FAE2E189D693E8C36676BD09A0F3622FBA094800452217CC900000000000000000000001)
+
+
+FIELDS = {
+    f.name: f
+    for f in [
+        BABY_BEAR, BABY_BEAR_RISC0, MERSENNE31, GOLDILOCKS, GOLDILOCKS_PLONKY2,
+        BN254_FR, BN254_FP, BLS12_381_FR, BLS12_381_FP, BLS12_377_FR,
+        BLS12_377_FP, PALLAS_P, VESTA_Q,
+    ]
+}
+
+CURVES = {
+    c.name: c
+    for c in [BN254_G1, BLS12_381_G1, BLS12_377_G1, PALLAS_G1, VESTA_G1,
+              BLS12_381_G2, BN254_G2, BLS12_377_G2]
+}
+
+
+def get_field(name: str) -> FieldParams:
+    try:
+        return FIELDS[name]
+    except KeyError:
+        raise KeyError(f"unknown field {name!r}; available: {sorted(FIELDS)}")
+
+
+def get_curve(name: str) -> CurveParams:
+    try:
+        return CURVES[name]
+    except KeyError:
+        raise KeyError(f"unknown curve {name!r}; available: {sorted(CURVES)}")
