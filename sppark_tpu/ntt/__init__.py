@@ -1,0 +1,191 @@
+"""NTT facade (ntt/ntt.cuh analogue).
+
+Public API mirrors the reference's NTT class surface (ntt/ntt.cuh:31-36,
+216-361): InputOutputOrder {NN, NR, RN, RR}, Direction {forward, inverse},
+Type {standard, coset}, the `base()` one-shot entry (host array in/out, the
+H2D -> kernels -> D2H convenience of NTT::Base), `base_dev` for
+device-resident arrays (Base_dev_ptr), and `lde` / `lde_aux`
+(LDE_spread_distribute_powers + forward NTT, ntt/ntt.cuh:283-338).
+
+Each (field, lg, order, direction, type) configuration is jit-compiled once
+and cached — the analogue of the reference's per-GPU twiddle/setup caching.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import get_field, FieldParams
+from ..ff import get_jax_field
+from ..util.errors import SpparkError
+from .parameters import get_parameters, powers_of
+from .core import bit_reverse, ct_stages, bitrev_indices
+
+
+class InputOutputOrder(enum.Enum):
+    NN = "NN"
+    NR = "NR"
+    RN = "RN"
+    RR = "RR"
+
+
+class Direction(enum.Enum):
+    forward = 0
+    inverse = 1
+
+
+class Type(enum.Enum):
+    standard = 0
+    coset = 1
+
+
+def _field_name(field) -> str:
+    return field.name if isinstance(field, FieldParams) else str(field)
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled(field_name: str, lg: int, order: str, direction: int,
+              ntt_type: int):
+    """Build + jit the full NTT computation for one configuration."""
+    params = get_field(field_name)
+    if lg > params.two_adicity:
+        raise SpparkError(1, f"{field_name}: 2^{lg} exceeds two-adicity")
+    F = get_jax_field(params)
+    pm = get_parameters(field_name)
+    inverse = direction == Direction.inverse.value
+    twiddles = pm.stage_twiddles(lg, inverse)
+    coset = ntt_type == Type.coset.value
+    if coset:
+        shift = pm.coset_powers(lg, inverse)
+    scale_int = params.domain_size_inverse(lg) if inverse else None
+
+    def run(x):
+        pre = order[0] == "N"    # CT stages want bit-reversed input
+        post = order[1] == "R"
+        if coset and not inverse:
+            x = F.mul(x, shift)
+        if pre:
+            x = bit_reverse(x, lg)
+        scale = (F.const(scale_int, batch_shape=(1,))
+                 if scale_int is not None and lg > 0 else None)
+        x = ct_stages(F, x, lg, twiddles, scale=scale)
+        if scale_int is not None and lg == 0:
+            x = F.mul(x, F.const(scale_int, batch_shape=(1,)))
+        if coset and inverse:
+            x = F.mul(x, shift)
+        if post:
+            x = bit_reverse(x, lg)
+        return x
+
+    return jax.jit(run)
+
+
+def base_dev(field, x, lg_domain: int,
+             order: InputOutputOrder = InputOutputOrder.NN,
+             direction: Direction = Direction.forward,
+             ntt_type: Type = Type.standard):
+    """NTT on a device-resident array (NTT::Base_dev_ptr, ntt/ntt.cuh:344)."""
+    name = _field_name(field)
+    fn = _compiled(name, lg_domain, InputOutputOrder(order).value,
+                   Direction(direction).value, Type(ntt_type).value)
+    return fn(x)
+
+
+def base(field, inout: np.ndarray, lg_domain: int,
+         order: InputOutputOrder = InputOutputOrder.NN,
+         direction: Direction = Direction.forward,
+         ntt_type: Type = Type.standard) -> np.ndarray:
+    """One-shot host-array NTT (NTT::Base, ntt/ntt.cuh:216-244): upload,
+    transform, download, in the field's wire format."""
+    name = _field_name(field)
+    F = get_jax_field(get_field(name))
+    dev = F.from_wire_np(inout)
+    out = base_dev(name, dev, lg_domain, order, direction, ntt_type)
+    return F.to_wire_np(out)
+
+
+# -- convenience wrappers mirroring poc/ntt-cuda/src/lib.rs:20-118 -----------
+
+def ntt(field, inout, lg_domain, order=InputOutputOrder.NN):
+    return base(field, inout, lg_domain, order, Direction.forward)
+
+
+def intt(field, inout, lg_domain, order=InputOutputOrder.NN):
+    return base(field, inout, lg_domain, order, Direction.inverse)
+
+
+def coset_ntt(field, inout, lg_domain, order=InputOutputOrder.NN):
+    return base(field, inout, lg_domain, order, Direction.forward, Type.coset)
+
+
+def coset_intt(field, inout, lg_domain, order=InputOutputOrder.NN):
+    return base(field, inout, lg_domain, order, Direction.inverse, Type.coset)
+
+
+# -- LDE (ntt/ntt.cuh:283-338) -------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _compiled_lde(field_name: str, lg: int, lg_blowup: int, with_aux: bool):
+    params = get_field(field_name)
+    F = get_jax_field(params)
+    pm = get_parameters(field_name)
+    lg_ext = lg + lg_blowup
+    if lg_ext > params.two_adicity:
+        raise SpparkError(1, f"{field_name}: extended domain 2^{lg_ext} "
+                             f"exceeds two-adicity")
+    tw_inv = pm.stage_twiddles(lg, True)
+    tw_fwd = pm.stage_twiddles(lg_ext, False)
+    shift = pm.coset_powers(lg_ext, False)
+    scale_int = params.domain_size_inverse(lg)
+
+    def run(x):
+        # 1) interpolate: iNTT (input natural, output natural)
+        scale = F.const(scale_int, batch_shape=(1,)) if lg > 0 else None
+        coeffs = ct_stages(F, bit_reverse(x, lg), lg, tw_inv, scale=scale)
+        if lg == 0:
+            coeffs = F.mul(x, F.const(scale_int, batch_shape=(1,)))
+        # 2) zero-extend to the blown-up domain
+        pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, (1 << lg_ext) - (1 << lg))]
+        ext = jnp.pad(coeffs, pad)
+        # 3) coset shift + forward NTT over the extended domain
+        ext = F.mul(ext, shift)
+        out = ct_stages(F, bit_reverse(ext, lg_ext), lg_ext, tw_fwd)
+        if with_aux:
+            return out, coeffs
+        return out
+
+    return jax.jit(run)
+
+
+def lde_dev(field, x, lg_domain: int, lg_blowup: int):
+    """Low-degree extension on device arrays: size-n evaluations over H ->
+    size n<<blowup evaluations over the coset g*H' (NTT::LDE_aux semantics,
+    without the aux copy)."""
+    name = _field_name(field)
+    return _compiled_lde(name, lg_domain, lg_blowup, False)(x)
+
+
+def lde_aux_dev(field, x, lg_domain: int, lg_blowup: int):
+    """LDE returning (extended evaluations, coefficient-domain aux copy) —
+    mirrors NTT::LDE_aux's optional aux output (ntt/ntt.cuh:309-312)."""
+    name = _field_name(field)
+    return _compiled_lde(name, lg_domain, lg_blowup, True)(x)
+
+
+def lde(field, inout: np.ndarray, lg_domain: int, lg_blowup: int) -> np.ndarray:
+    name = _field_name(field)
+    F = get_jax_field(get_field(name))
+    return F.to_wire_np(lde_dev(name, F.from_wire_np(inout), lg_domain,
+                                lg_blowup))
+
+
+__all__ = [
+    "InputOutputOrder", "Direction", "Type",
+    "base", "base_dev", "ntt", "intt", "coset_ntt", "coset_intt",
+    "lde", "lde_dev", "lde_aux_dev", "bit_reverse", "bitrev_indices",
+]

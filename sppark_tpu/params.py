@@ -166,6 +166,9 @@ MERSENNE31 = FieldParams(
     name="mersenne31",
     modulus=(1 << 31) - 1,
     generator=7,                 # any generator; mrs31 has no 2-adic NTT
+    # memory format is canonical; the reference's mem_t shifts <<1/>>1 into a
+    # Montgomery register form on load/store (ff/mersenne31.hpp:14-39)
+    montgomery_wire=False,
     max_lg_domain=0,
 )
 

@@ -2,16 +2,27 @@
 
 Real-TPU benching happens in bench.py; tests must pass on GPU-less/TPU-less
 CI the way the reference's CI compiles without GPUs (.github/workflows/ci.yml).
+
+NOTE: in this image jax is pre-imported at interpreter startup with
+JAX_PLATFORMS=axon, so env vars are too late — we switch platforms through
+jax.config before any computation runs.
 """
 
 import os
 
-# Must be set before jax imports anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+# persistent compile cache: the big-field graphs take seconds each to build
+jax.config.update("jax_compilation_cache_dir", "/tmp/sppark_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import random  # noqa: E402
 
