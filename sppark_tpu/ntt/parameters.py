@@ -1,17 +1,17 @@
 """Twiddle factor management (ntt/parameters.cuh analogue).
 
 The reference lazily builds per-GPU twiddle tables (NTTParameters::all,
-ntt/parameters.cuh:222-337) with windowed reconstruction to bound table size.
-On TPU we cache **per-stage radix-2 twiddle tables** as device arrays, built
-by log-depth doubling (log N field muls of growing vectors) — the tables are
-device-resident across calls, mirroring the reference's per-GPU cache.
+ntt/parameters.cuh:222-337) and reconstructs arbitrary roots from windowed
+partial products (get_intermediate_root, parameters.cuh:86-145).  The TPU
+version uses the same windowed-reconstruction idea, but vectorized: the full
+power table [w^0 .. w^(n-1)] is built in ONE fixed-shape jitted computation
+as a product over bit-planes — powers[i] = prod_k (w^(2^k))^bit_k(i) — which
+is lg(n) full-width multiplies and selects, all at a single shape (one XLA
+compile per (field, lg)).  Per-stage radix-2 tables are then strided gathers
+into that table: W_s[j] = W[j << (lg-s)].
 
-Memory: sum over stages of 2^(s-1) elements = N-1 total (~N field elements),
-built once per (field, direction, lg_domain) and cached device-resident.
-At the reference's MAX_LG_DOMAIN_SIZE = 28 (parameters.cuh:11-19) that is
-~2 GiB for gl64 — acceptable in 16 GiB HBM, and the fused Pallas kernels
-use windowed on-the-fly twiddle reconstruction instead (parameters.cuh:86-145
-analogue) once they land.
+Tables are cached device-resident per (field, direction, lg), mirroring the
+reference's per-GPU cache (parameters.cuh:308-336).
 """
 
 from __future__ import annotations
@@ -21,25 +21,31 @@ from typing import List
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..params import FieldParams, get_field
 from ..ff import get_jax_field
 from ..ff.base import BaseField
 
 
-def powers_of(F: BaseField, base_int: int, n: int):
-    """Device array [1, w, w^2, ..., w^(n-1)] built by log-depth doubling."""
+def powers_of(F: BaseField, base_int: int, n: int, mul_by: int = 1):
+    """Device array [c, c*w, c*w^2, ..., c*w^(n-1)] (c = mul_by), built as a
+    single fixed-shape jitted bit-plane product."""
     w = base_int % F.p
-    t = F.from_int_list([1])          # length-1 array
-    length = 1
-    while length < n:
-        step = pow(w, length, F.p)
-        stepc = F.const(step, batch_shape=(min(length, n - length),))
-        ext = F.mul(jax.lax.slice_in_dim(t, 0, min(length, n - length),
-                                         axis=-1), stepc)
-        t = jnp.concatenate([t, ext], axis=-1)
-        length = t.shape[-1]
-    return t
+    lg = max((n - 1).bit_length(), 1)
+    # host: w^(2^k) as wire constants
+    step_ints = [pow(w, 1 << k, F.p) for k in range(lg)]
+
+    def build():
+        idx = jnp.arange(n, dtype=jnp.uint32)
+        acc = F.const(mul_by % F.p, batch_shape=(n,))
+        for k in range(lg):
+            stepped = F.mul(acc, F.const(step_ints[k], batch_shape=(n,)))
+            bit = (idx >> k) & 1
+            acc = F.select(bit == 1, stepped, acc)
+        return acc
+
+    return jax.jit(build)()
 
 
 class NTTParameters:
@@ -48,26 +54,31 @@ class NTTParameters:
     def __init__(self, params: FieldParams):
         self.params = params
         self.F = get_jax_field(params)
-        self._stage_tables = {}   # (inverse, lg) -> list of per-stage arrays
+        self._power_tables = {}   # (inverse, lg) -> full power table
+        self._coset_tables = {}
 
-    def stage_twiddles(self, lg_domain: int, inverse: bool) -> List:
-        """List of lg_domain arrays; entry s-1 has 2^(s-1) twiddles
-        w_{2^s}^j for the radix-2 butterfly of stage s (CT ordering)."""
+    def power_table(self, lg_domain: int, inverse: bool):
+        """[w^0 .. w^(N/2 - 1)] for the primitive 2^lg root w."""
         key = (inverse, lg_domain)
-        if key not in self._stage_tables:
-            F = self.F
+        if key not in self._power_tables:
             root = (self.params.inv_root_of_unity(lg_domain) if inverse
                     else self.params.root_of_unity(lg_domain))
-            top = powers_of(F, root, max(1 << (lg_domain - 1), 1))
-            tables = [top]
-            # W_{s-1}[j] = W_s[j]^2
-            for s in range(lg_domain - 1, 0, -1):
-                prev = tables[-1]
-                half = jax.lax.slice_in_dim(prev, 0, 1 << (s - 1), axis=-1)
-                tables.append(F.sqr(half))
-            tables.reverse()
-            self._stage_tables[key] = [jax.device_put(t) for t in tables]
-        return self._stage_tables[key]
+            n = max(1 << (lg_domain - 1), 1)
+            self._power_tables[key] = jax.device_put(
+                powers_of(self.F, root, n))
+        return self._power_tables[key]
+
+    def stage_twiddles(self, lg_domain: int, inverse: bool) -> List:
+        """List of lg_domain arrays; entry s-1 has the 2^(s-1) twiddles
+        w_{2^s}^j for the radix-2 CT butterfly of stage s — strided views of
+        the full table."""
+        top = self.power_table(lg_domain, inverse)
+        tables = []
+        for s in range(1, lg_domain + 1):
+            stride = 1 << (lg_domain - s)
+            idx = np.arange(1 << (s - 1), dtype=np.uint32) * stride
+            tables.append(jnp.take(top, jnp.asarray(idx), axis=-1))
+        return tables
 
     def domain_size_inverse(self, lg_domain: int):
         return self.params.domain_size_inverse(lg_domain)
@@ -75,10 +86,14 @@ class NTTParameters:
     def coset_powers(self, lg_domain: int, inverse: bool):
         """[g^0, g^1, ... g^(N-1)] (or g^-i) for the LDE coset shift
         (partial_group_gen_powers, parameters.cuh:241-282)."""
-        g = self.params.generator
-        if inverse:
-            g = pow(g, self.params.modulus - 2, self.params.modulus)
-        return powers_of(self.F, g, 1 << lg_domain)
+        key = (inverse, lg_domain)
+        if key not in self._coset_tables:
+            g = self.params.generator
+            if inverse:
+                g = pow(g, self.params.modulus - 2, self.params.modulus)
+            self._coset_tables[key] = jax.device_put(
+                powers_of(self.F, g, 1 << lg_domain))
+        return self._coset_tables[key]
 
 
 @functools.lru_cache(maxsize=None)
