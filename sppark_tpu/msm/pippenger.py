@@ -1,0 +1,328 @@
+"""Pippenger multi-scalar multiplication on TPU (msm/pippenger.cuh analogue).
+
+Phase structure mirrors the reference (breakdown -> sort -> accumulate ->
+integrate -> host collect; msm/pippenger.cuh:448-571) but each phase is
+re-shaped for the TPU execution model:
+
+  * breakdown: vectorized signed-digit/booth encode over u32 scalar word
+    planes (role of the `breakdown` kernel, pippenger.cuh:72-121).  The
+    scalar-abs fold (scalar > order/2 => negate and flip signs,
+    pippenger.cuh:101-117) is a branchless word-wise compare + borrow chain.
+  * sort: one batched `jax.lax.sort` over (nwins, n) bucket ids replaces the
+    two-pass counting sort (msm/sort.cuh) — XLA's sort is deterministic and
+    needs no cross-block histograms.
+  * accumulate: the reference's persistent-kernel atomic work stealing
+    (pippenger.cuh:157-176) is replaced by **histogram-scheduled conflict-free
+    rounds**: after the sort, bucket b's points occupy the contiguous run
+    [starts[b], starts[b] + counts[b]); in round r every bucket takes its
+    r-th point, so one xyzz_madd per (window, bucket) lane per round with no
+    write conflicts.  rounds = max bucket occupancy (a traced value — the
+    `while` dissolves into a bounded fori_loop).
+  * integrate: per-window weighted bucket reduction sum_b b*bucket[b]
+    computed as a reverse `associative_scan` (suffix sums) + tree fold
+    (role of the `integrate` kernel, pippenger.cuh:225-296).
+  * collect: the tiny final window merge (doubling-merge of window sums,
+    pippenger.cuh:667-727) runs on host over exact ints.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import CurveParams, get_curve
+from ..ec import get_curve_ops, CurveOps
+from ..ff.bigmont import BigMontField
+from ..oracle.ec import get_oracle, AffinePoint
+from ..oracle.msm import window_bits
+
+_U32 = jnp.uint32
+
+
+# ---------------------------------------------------------------------------
+# scalar ingestion
+# ---------------------------------------------------------------------------
+
+def _scalar_words_from_ints(scalars: Sequence[int], order: int,
+                            n_words: int) -> np.ndarray:
+    """(n_words, n) u32 planes of canonical scalars."""
+    out = np.empty((n_words, len(scalars)), dtype=np.uint32)
+    for c, s in enumerate(scalars):
+        s %= order
+        for i in range(n_words):
+            out[i, c] = (s >> (32 * i)) & 0xFFFFFFFF
+    return out
+
+
+def demont_scalar_words(F: BigMontField, words):
+    """Montgomery wire scalars -> canonical u32 word planes, on device
+    (the breakdown kernel's optional from() conversion, pippenger.cuh:97).
+    `words` is a (n_words, n) u32 array of Montgomery-form scalars."""
+    n_words = words.shape[0]
+    planes16 = jnp.concatenate(
+        [jnp.stack([words[i] & np.uint32(0xFFFF), words[i] >> 16])
+         for i in range(n_words)])
+    canon = F.from_mont(planes16)
+    return jnp.stack([canon[2 * i] | (canon[2 * i + 1] << 16)
+                      for i in range(n_words)])
+
+
+# ---------------------------------------------------------------------------
+# device pipeline
+# ---------------------------------------------------------------------------
+
+class MSMContext:
+    """Per-(curve, npoints) MSM engine (msm_t analogue, pippenger.cuh:325).
+
+    Holds the window policy and the jitted pipeline; optionally keeps the
+    point set device-resident for reuse across invocations (the
+    gpu_ptr_t-resident-points path, pippenger.cuh:377-383, 582-601).
+    """
+
+    def __init__(self, curve, npoints: int, wbits: int = 0):
+        self.curve = get_curve(curve) if isinstance(curve, str) else curve
+        self.ops: CurveOps = get_curve_ops(self.curve.name)
+        self.npoints = npoints
+        sf = self.curve.scalar
+        self.scalar_bits = sf.bits
+        self.wbits = wbits or window_bits(npoints, self.scalar_bits)
+        self.nwins = (self.scalar_bits + self.wbits - 1) // self.wbits
+        self.nbuckets = 1 << (self.wbits - 1)
+        self.n_words = (self.scalar_bits + 31) // 32
+        self._points_dev = None
+        self._fn = _pipeline(self.curve.name, self.wbits, self.nwins,
+                             self.n_words)
+
+    # -- point residency ----------------------------------------------------
+    def set_points(self, points):
+        """Upload a point batch once for reuse (device-resident points)."""
+        if isinstance(points, (list, tuple)) and points and \
+                hasattr(points[0], "x"):
+            self._points_dev = self.ops.affine_from_ints(points)
+        else:
+            self._points_dev = points
+        return self._points_dev
+
+    # -- invocation ------------------------------------------------------------
+    def invoke(self, scalars, points=None, mont: bool = False) -> AffinePoint:
+        """Compute sum_i scalars[i] * points[i]; returns an oracle
+        AffinePoint (exact ints)."""
+        ops = self.ops
+        if points is None:
+            pts_dev = self._points_dev
+            assert pts_dev is not None, "no points uploaded"
+        elif isinstance(points, (list, tuple)) and points and \
+                hasattr(points[0], "x"):
+            pts_dev = ops.affine_from_ints(points)
+        else:
+            pts_dev = points
+        if hasattr(scalars, "ndim") and scalars.ndim == 2:
+            words = jnp.asarray(scalars)      # already (n_words, n) planes
+            if mont:
+                from ..ff import get_jax_field
+                words = demont_scalar_words(
+                    get_jax_field(self.curve.scalar), words)
+        else:
+            words = jnp.asarray(_scalar_words_from_ints(
+                scalars, self.curve.scalar.modulus, self.n_words))
+        wx, wy = self._fn(words, pts_dev)
+        return self._collect(wx, wy)
+
+    def _collect(self, wx, wy) -> AffinePoint:
+        """Host window merge: MSB-first doubling merge of the per-window
+        sums (collect(), pippenger.cuh:667-727) over exact ints."""
+        o = get_oracle(self.curve)
+        pts = self.ops.affine_to_ints((wx, wy))
+        total = o.infinity_jacobian()
+        for w in reversed(range(self.nwins)):
+            for _ in range(self.wbits):
+                total = o.jacobian_dbl(total)
+            x, y = pts[w]
+            zero = (0, 0) if self.ops.degree == 2 else 0
+            if not (x == zero and y == zero):
+                total = o.jacobian_add(total, o.to_jacobian(
+                    AffinePoint(x, y, False)))
+        return o.jacobian_to_affine(total)
+
+
+@functools.lru_cache(maxsize=None)
+def _pipeline(curve_name: str, wbits: int, nwins: int, n_words: int):
+    """Jitted breakdown -> sort -> accumulate -> integrate; returns the
+    per-window sums normalized to affine."""
+    ops = get_curve_ops(curve_name)
+    raw = window_sums_fn(curve_name, wbits, nwins, n_words)
+
+    def run(words, points):
+        return ops.xyzz_to_affine(raw(words, points))
+
+    return jax.jit(run)
+
+
+@functools.lru_cache(maxsize=None)
+def window_sums_fn(curve_name: str, wbits: int, nwins: int, n_words: int):
+    """Un-jitted local pipeline: (scalar words, affine points) -> per-window
+    xyzz sums, shape (.., nwins).  The sharded MSM wraps this in shard_map
+    (parallel/msm.py); the single-chip path jits it directly."""
+    curve = get_curve(curve_name)
+    ops = get_curve_ops(curve_name)
+    order = curve.scalar.modulus
+    nbuckets = 1 << (wbits - 1)
+    half = np.uint32(1 << (wbits - 1))
+    full = 1 << wbits
+    mask = np.uint32(full - 1)
+    half_order_words = [(order // 2 >> (32 * i)) & 0xFFFFFFFF
+                        for i in range(n_words)]
+    order_words = [(order >> (32 * i)) & 0xFFFFFFFF for i in range(n_words)]
+
+    def breakdown(words):
+        """(n_words, n) canonical words -> bucket ids & signs (nwins, n)."""
+        # -- scalar abs-fold (pippenger.cuh:101-117) ------------------------
+        gt = jnp.zeros(words.shape[1], jnp.bool_)     # s > order/2 so far
+        eq = jnp.ones(words.shape[1], jnp.bool_)
+        for i in reversed(range(n_words)):
+            hw = np.uint32(half_order_words[i])
+            gt = gt | (eq & (words[i] > hw))
+            eq = eq & (words[i] == hw)
+        neg = gt
+        # folded = order - s (borrow chain over words)
+        folded = []
+        borrow = jnp.zeros(words.shape[1], _U32)
+        for i in range(n_words):
+            ow = np.uint32(order_words[i])
+            d = ow - words[i] - borrow
+            # borrow-out if ow < words[i] + borrow (compute in 64-bit-free way)
+            b_out = (words[i] > ow) | ((words[i] == ow) & (borrow == 1))
+            folded.append(d)
+            borrow = b_out.astype(_U32)
+        w_sel = [jnp.where(neg, f, w) for f, w in zip(folded, words)]
+        # -- window extraction ----------------------------------------------
+        raw = []
+        for w in range(nwins):
+            off = w * wbits
+            wi, sh = off >> 5, off & 31
+            lo = w_sel[wi] >> np.uint32(sh)
+            if sh and wi + 1 < n_words:
+                lo = lo | (w_sel[wi + 1] << np.uint32(32 - sh))
+            raw.append(lo & mask)
+        # -- booth/signed encode with carry (oracle-compatible:
+        #    d >= 2^(wbits-1) borrows, except in the top window) -----------
+        ids, signs = [], []
+        carry = jnp.zeros_like(raw[0])
+        for w in range(nwins):
+            t = raw[w] + carry
+            is_last = w == nwins - 1
+            d_neg = (t >= half) & jnp.asarray(not is_last)
+            mag = jnp.where(d_neg, np.uint32(full) - t, t)
+            carry = d_neg.astype(_U32)
+            ids.append(mag)
+            signs.append(d_neg ^ neg)
+        return jnp.stack(ids), jnp.stack(signs)
+
+    def run(words, points):
+        n = words.shape[1]
+        px, py = points
+        ids, signs = breakdown(words)
+        # pack (sign, index) into the sort payload (sort.cuh packs sign in
+        # bit 31, msm/sort.cuh:115)
+        payload = (jnp.broadcast_to(jnp.arange(n, dtype=_U32)[None], ids.shape)
+                   | (signs.astype(_U32) << np.uint32(31)))
+        sorted_ids, sorted_val = jax.lax.sort_key_val(ids, payload,
+                                                      dimension=-1)
+        counts = jax.vmap(lambda row: jnp.bincount(
+            row.astype(jnp.int32), length=nbuckets + 1))(sorted_ids)
+        starts = jnp.cumsum(counts, axis=1) - counts     # exclusive prefix
+        occ = counts[:, 1:]                               # (nwins, nbuckets)
+        base = starts[:, 1:]
+        rounds = jnp.max(occ)                             # traced bound
+
+        bshape = (nwins, nbuckets)
+        bucket0 = ops.xyzz_infinity(bshape)
+
+        def round_body(r, bucket):
+            pos = jnp.minimum(base + r.astype(_U32), np.uint32(n - 1))
+            valid = r < occ
+            val = jnp.take_along_axis(sorted_val, pos, axis=1)
+            idx = val & np.uint32(0x7FFFFFFF)
+            sgn = (val >> np.uint32(31)) == 1
+            gx = jax.tree.map(lambda a: jnp.take(a, idx, axis=-1), px)
+            gy = jax.tree.map(lambda a: jnp.take(a, idx, axis=-1), py)
+            # invalid lanes become the affine point at infinity (0, 0),
+            # which xyzz_madd passes through
+            gx = ops.F.select(valid, gx, ops.F.zeros(bshape))
+            gy = ops.F.select(valid, gy, ops.F.zeros(bshape))
+            return ops.xyzz_madd(bucket, (gx, gy), sign=sgn)
+
+        bucket = jax.lax.fori_loop(0, rounds, round_body, bucket0)
+
+        # -- integrate: W = sum_b (b) * bucket_b over digits b = 1..nbuckets,
+        # as grouped serial acc/res strip reductions — the exact dataflow of
+        # the reference's integrate kernel + host collect
+        # (pippenger.cuh:225-296, 627-665), vectorized over (nwins, G) lanes.
+        G = min(64, nbuckets)
+        C = nbuckets // G
+
+        def regroup(a):
+            # (..., nbuckets) -> (C, ..., G) with c descending
+            a = a.reshape(a.shape[:-1] + (G, C))
+            a = jnp.moveaxis(a, -1, 0)
+            return a[::-1]
+
+        xs = jax.tree.map(regroup, bucket)
+        zero_g = ops.xyzz_infinity((nwins, G))
+
+        def strip_step(carry, b):
+            acc, res = carry
+            acc = ops.xyzz_add(acc, b)
+            res = ops.xyzz_add(res, acc)
+            return (acc, res), None
+
+        (T, R), _ = jax.lax.scan(strip_step, (zero_g, zero_g), xs)
+        # T[g] = sum_c bucket[g,c];  R[g] = sum_c (c+1)*bucket[g,c]
+        # W = sum_g R[g] + C * sum_{k>=1} SufT[k],  SufT[k] = sum_{g>=k} T[g]
+        def gr(a):  # (..., G) -> (G, ...) descending
+            return jnp.moveaxis(a, -1, 0)[::-1]
+
+        Ts = jax.tree.map(gr, T)
+        Rs = jax.tree.map(gr, R)
+        zero_w = ops.xyzz_infinity((nwins,))
+        g_idx = jnp.arange(G - 1, -1, -1)
+
+        def group_step(carry, inp):
+            accT, sumSuf, sumRes = carry
+            t, r, g = inp
+            accT = ops.xyzz_add(accT, t)
+            sumSuf_new = ops.xyzz_add(sumSuf, accT)
+            keep = g >= 1
+            sumSuf = jax.tree.map(
+                lambda a, b: jnp.where(keep, a, b), sumSuf_new, sumSuf)
+            sumRes = ops.xyzz_add(sumRes, r)
+            return (accT, sumSuf, sumRes), None
+
+        (_, sumSuf, sumRes), _ = jax.lax.scan(
+            group_step, (zero_w, zero_w, zero_w), (Ts, Rs, g_idx))
+        # C * sumSuf via lg2(C) doublings (C is a power of two)
+        for _ in range(int(math.log2(C))):
+            sumSuf = ops.xyzz_dbl(sumSuf)
+        return ops.xyzz_add(sumRes, sumSuf)               # (.., nwins)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# one-shot wrappers (mult_pippenger, msm/pippenger.cuh:731-748)
+# ---------------------------------------------------------------------------
+
+def mult_pippenger(curve, points, scalars, mont: bool = False,
+                   wbits: int = 0) -> AffinePoint:
+    """One-shot MSM: points may be oracle AffinePoints or a device batch;
+    scalars a list of ints or (n_words, n) u32 planes."""
+    n = len(points) if isinstance(points, (list, tuple)) else None
+    if n is None:
+        n = int(jax.tree.leaves(points)[0].shape[-1])
+    ctx = MSMContext(curve, n, wbits=wbits)
+    return ctx.invoke(scalars, points=points, mont=mont)

@@ -51,20 +51,20 @@ def _field_name(field) -> str:
 @functools.lru_cache(maxsize=None)
 def _compiled(field_name: str, lg: int, order: str, direction: int,
               ntt_type: int):
-    """Build + jit the full NTT computation for one configuration."""
+    """Build + jit the full NTT computation for one configuration.
+
+    Twiddle/coset tables are passed as ARGUMENTS (cached device arrays from
+    NTTParameters), not closures — closures would be baked into the HLO as
+    O(N) constants and blow up the serialized program at large domains."""
     params = get_field(field_name)
     if lg > params.two_adicity:
         raise SpparkError(1, f"{field_name}: 2^{lg} exceeds two-adicity")
     F = get_jax_field(params)
-    pm = get_parameters(field_name)
     inverse = direction == Direction.inverse.value
-    twiddles = pm.stage_twiddles(lg, inverse)
     coset = ntt_type == Type.coset.value
-    if coset:
-        shift = pm.coset_powers(lg, inverse)
     scale_int = params.domain_size_inverse(lg) if inverse else None
 
-    def run(x):
+    def run(x, twiddles, shift):
         pre = order[0] == "N"    # CT stages want bit-reversed input
         post = order[1] == "R"
         if coset and not inverse:
@@ -91,9 +91,16 @@ def base_dev(field, x, lg_domain: int,
              ntt_type: Type = Type.standard):
     """NTT on a device-resident array (NTT::Base_dev_ptr, ntt/ntt.cuh:344)."""
     name = _field_name(field)
+    direction = Direction(direction)
+    ntt_type = Type(ntt_type)
     fn = _compiled(name, lg_domain, InputOutputOrder(order).value,
-                   Direction(direction).value, Type(ntt_type).value)
-    return fn(x)
+                   direction.value, ntt_type.value)
+    pm = get_parameters(name)
+    inverse = direction == Direction.inverse
+    twiddles = tuple(pm.stage_twiddles(lg_domain, inverse))
+    shift = (pm.coset_powers(lg_domain, inverse)
+             if ntt_type == Type.coset else ())
+    return fn(x, twiddles, shift)
 
 
 def base(field, inout: np.ndarray, lg_domain: int,
@@ -133,17 +140,13 @@ def coset_intt(field, inout, lg_domain, order=InputOutputOrder.NN):
 def _compiled_lde(field_name: str, lg: int, lg_blowup: int, with_aux: bool):
     params = get_field(field_name)
     F = get_jax_field(params)
-    pm = get_parameters(field_name)
     lg_ext = lg + lg_blowup
     if lg_ext > params.two_adicity:
         raise SpparkError(1, f"{field_name}: extended domain 2^{lg_ext} "
                              f"exceeds two-adicity")
-    tw_inv = pm.stage_twiddles(lg, True)
-    tw_fwd = pm.stage_twiddles(lg_ext, False)
-    shift = pm.coset_powers(lg_ext, False)
     scale_int = params.domain_size_inverse(lg)
 
-    def run(x):
+    def run(x, tw_inv, tw_fwd, shift):
         # 1) interpolate: iNTT (input natural, output natural)
         scale = F.const(scale_int, batch_shape=(1,)) if lg > 0 else None
         coeffs = ct_stages(F, bit_reverse(x, lg), lg, tw_inv, scale=scale)
@@ -162,19 +165,28 @@ def _compiled_lde(field_name: str, lg: int, lg_blowup: int, with_aux: bool):
     return jax.jit(run)
 
 
+def _lde_args(name: str, lg: int, lg_blowup: int):
+    pm = get_parameters(name)
+    return (tuple(pm.stage_twiddles(lg, True)),
+            tuple(pm.stage_twiddles(lg + lg_blowup, False)),
+            pm.coset_powers(lg + lg_blowup, False))
+
+
 def lde_dev(field, x, lg_domain: int, lg_blowup: int):
     """Low-degree extension on device arrays: size-n evaluations over H ->
     size n<<blowup evaluations over the coset g*H' (NTT::LDE_aux semantics,
     without the aux copy)."""
     name = _field_name(field)
-    return _compiled_lde(name, lg_domain, lg_blowup, False)(x)
+    return _compiled_lde(name, lg_domain, lg_blowup, False)(
+        x, *_lde_args(name, lg_domain, lg_blowup))
 
 
 def lde_aux_dev(field, x, lg_domain: int, lg_blowup: int):
     """LDE returning (extended evaluations, coefficient-domain aux copy) —
     mirrors NTT::LDE_aux's optional aux output (ntt/ntt.cuh:309-312)."""
     name = _field_name(field)
-    return _compiled_lde(name, lg_domain, lg_blowup, True)(x)
+    return _compiled_lde(name, lg_domain, lg_blowup, True)(
+        x, *_lde_args(name, lg_domain, lg_blowup))
 
 
 def lde(field, inout: np.ndarray, lg_domain: int, lg_blowup: int) -> np.ndarray:

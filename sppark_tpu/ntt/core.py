@@ -37,8 +37,16 @@ def bitrev_indices(lg_n: int) -> np.ndarray:
 
 
 def bit_reverse(x, lg_n: int):
-    """Bit-reverse permutation along the last axis (kernels.cu:16-129)."""
-    return jnp.take(x, jnp.asarray(bitrev_indices(lg_n)), axis=-1)
+    """Bit-reverse permutation along the last axis (kernels.cu:16-129).
+
+    Indices are generated in-graph from an iota (not baked as an O(N)
+    constant — large embedded constants blow up the serialized HLO)."""
+    n = 1 << lg_n
+    idx = jnp.arange(n, dtype=jnp.uint32)
+    rev = jnp.zeros(n, jnp.uint32)
+    for b in range(lg_n):
+        rev = rev | (((idx >> b) & 1) << (lg_n - 1 - b))
+    return jnp.take(x, rev, axis=-1)
 
 
 def ct_stages(F: BaseField, x, lg_n: int, twiddles: List, scale=None):
@@ -47,6 +55,13 @@ def ct_stages(F: BaseField, x, lg_n: int, twiddles: List, scale=None):
     device element broadcastable to x) is folded into the final stage."""
     n = 1 << lg_n
     lead = x.shape[:-1]      # limb planes (if any) + batch dims
+    nl = 1 if F.n_limbs else 0
+    extra = x.ndim - 1 - nl  # batch dims between limb planes and the domain
+
+    def bcast(w):
+        """Shape a (limb?, k) table to broadcast over batch + block axes."""
+        return w.reshape(w.shape[:nl] + (1,) * extra + (1, w.shape[-1]))
+
     for s in range(1, lg_n + 1):
         half = 1 << (s - 1)
         nblocks = n >> s
@@ -57,9 +72,9 @@ def ct_stages(F: BaseField, x, lg_n: int, twiddles: List, scale=None):
         if s == lg_n and scale is not None:
             # fold 1/N into the final stage (ct_mixed_radix_narrow.cu:156-162)
             w = F.mul(w, scale)
-            lo = F.mul(lo, scale[..., None, :])
+            lo = F.mul(lo, bcast(scale))
         # broadcast w over the block axis
-        t = F.mul(hi, w[..., None, :])
+        t = F.mul(hi, bcast(w))
         new_lo = F.add(lo, t)
         new_hi = F.sub(lo, t)
         x = jnp.stack([new_lo, new_hi], axis=-2).reshape(lead + (n,))

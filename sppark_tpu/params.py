@@ -262,6 +262,13 @@ BLS12_377_G1 = CurveParams("bls12_377", BLS12_377_FP, BLS12_377_FR, b=1,
 PALLAS_G1 = CurveParams("pallas", PALLAS_P, VESTA_Q, b=5)   # h=1
 VESTA_G1 = CurveParams("vesta", VESTA_Q, PALLAS_P, b=5)     # h=1
 
+# Toy curve over the BabyBear field: NOT a cryptographic group (its order is
+# not validated) — exists so sharding/compile dry-runs (driver dryrun,
+# CPU-mesh CI) can exercise the full MSM pipeline with single-u32 field ops
+# instead of minutes-long 256-bit graph compiles.  Never use for correctness
+# tests of group arithmetic.
+TOY_BB31_G1 = CurveParams("toy_bb31", BABY_BEAR, BABY_BEAR, b=1)
+
 # G2 curves: b in Fp2.
 _381_b2 = 4
 BLS12_381_G2 = CurveParams(
@@ -298,7 +305,7 @@ FIELDS = {
 CURVES = {
     c.name: c
     for c in [BN254_G1, BLS12_381_G1, BLS12_377_G1, PALLAS_G1, VESTA_G1,
-              BLS12_381_G2, BN254_G2, BLS12_377_G2]
+              BLS12_381_G2, BN254_G2, BLS12_377_G2, TOY_BB31_G1]
 }
 
 
