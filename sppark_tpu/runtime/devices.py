@@ -1,0 +1,51 @@
+"""Device enumeration & selection (util/all_gpus.cpp analogue)."""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+
+_current = 0
+
+
+def all_devices() -> List:
+    """Every accelerator visible to the process (gpus_t::all())."""
+    return jax.devices()
+
+
+def ndevices() -> int:
+    return len(jax.devices())
+
+
+def select_device(device_id: int = -1):
+    """Pin subsequent work to a device; -1 returns the current selection
+    (select_gpu semantics, util/all_gpus.cpp:39-54)."""
+    global _current
+    devs = jax.devices()
+    if device_id >= 0:
+        if device_id >= len(devs):
+            raise IndexError(f"device {device_id} out of range "
+                             f"({len(devs)} available)")
+        _current = device_id
+    return devs[_current]
+
+
+def device_props(device_id: int = 0) -> dict:
+    """Device properties (gpu_props analogue)."""
+    d = jax.devices()[device_id]
+    return {
+        "id": d.id,
+        "platform": d.platform,
+        "device_kind": d.device_kind,
+        "process_index": d.process_index,
+    }
+
+
+def accelerator_available() -> bool:
+    """True if a non-CPU backend is live (cuda_available() analogue,
+    util/cuda_available.cu:10-23)."""
+    try:
+        return jax.default_backend() != "cpu"
+    except Exception:
+        return False
