@@ -45,16 +45,29 @@ def main():
     x = F.from_wire_np(np.asarray(wire))
     x = jax.device_put(x)
 
+    def fence(arr):
+        """Force execution to completion: fetch one element to the host
+        (block_until_ready alone does not fence remote-tunnel backends)."""
+        return np.asarray(jax.device_get(
+            arr[(0,) * (arr.ndim - 1) + (slice(0, 1),)]))
+
     # warm-up / compile
     out = base_dev(field, x, lg)
-    jax.block_until_ready(out)
+    fence(out)
 
+    # time a dependent chain (each NTT consumes the previous result) so no
+    # layer — XLA, the runtime, or a remote-execution cache — can reuse a
+    # previous answer, then divide by chain length
+    chain = 4
     times = []
     for _ in range(reps):
+        y = out
         t0 = time.perf_counter()
-        out = base_dev(field, x, lg)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
+        for _ in range(chain):
+            y = base_dev(field, y, lg)
+        fence(y)
+        times.append((time.perf_counter() - t0) / chain)
+        out = y
     dt = min(times)
     butterflies = (n // 2) * lg
     rate = butterflies / dt

@@ -29,6 +29,7 @@ import numpy as np
 
 from ..params import CurveParams, get_curve
 from ..ff import get_jax_field
+from ..ff.base import barrier
 from ..ff.ext import Fp2Field
 
 
@@ -58,7 +59,9 @@ class CurveOps:
         else:
             self.F = base
             self.degree = 1
-        assert curve.a4 == 0, "in-tree curves all have a4 == 0"
+        # a4 != 0 supported for G1 only (matches the reference template's
+        # unused-but-present a4 parameter, ec/jacobian_t.hpp:16)
+        assert curve.a4 == 0 or curve.fp2 is None
 
     # -- generic helpers ------------------------------------------------------
     def _sel(self, cond, a, b):
@@ -123,13 +126,18 @@ class CurveOps:
         S = F.mul(x, V)
         x2 = F.sqr(x)
         M = F.add(F.add(x2, x2), x2)
+        if self.curve.a4:
+            a = F.const(self.curve.a4, _any_bshape(self, x))
+            M = F.add(M, F.mul(a, F.sqr(zz)))
         X3 = F.sub(F.sqr(M), F.add(S, S))
         Y3 = F.sub(F.mul(M, F.sub(S, X3)), F.mul(W, y))
         ZZ3 = F.mul(V, zz)
         ZZZ3 = F.mul(W, zzz)
         bad = F.is_zero(y) | F.is_zero(zz)
         inf = self.xyzz_infinity(_any_bshape(self, p[0]))
-        return self._sel(bad, inf, (X3, Y3, ZZ3, ZZZ3))
+        # barriers cap XLA's per-use subexpression re-expansion when these
+        # ops are chained inside lax loop bodies (ff/base.py:barrier)
+        return barrier(self._sel(bad, inf, (X3, Y3, ZZ3, ZZZ3)))
 
     def xyzz_add(self, p, q):
         """Unified full add (add-2008-s, 12M+2S; ec/xyzz_t.hpp:117-201),
@@ -151,7 +159,7 @@ class CurveOps:
         Y3 = F.sub(F.mul(R, F.sub(Q, X3)), F.mul(S1, PPP))
         ZZ3 = F.mul(F.mul(ZZ1, ZZ2), PP)
         ZZZ3 = F.mul(F.mul(ZZZ1, ZZZ2), PPP)
-        added = (X3, Y3, ZZ3, ZZZ3)
+        added = barrier((X3, Y3, ZZ3, ZZZ3))
 
         p_inf = self.xyzz_is_inf(p)
         q_inf = self.xyzz_is_inf(q)
@@ -162,7 +170,7 @@ class CurveOps:
         out = self._sel(same_x & ~same_y, inf, out)
         out = self._sel(q_inf, p, out)
         out = self._sel(p_inf, q, out)
-        return out
+        return barrier(out)
 
     def xyzz_madd(self, p, a, sign=None):
         """Unified mixed add of affine points — THE MSM bucket op
@@ -184,7 +192,7 @@ class CurveOps:
         Y3 = F.sub(F.mul(R, F.sub(Q, X3)), F.mul(Y1, PPP))
         ZZ3 = F.mul(ZZ1, PP)
         ZZZ3 = F.mul(ZZZ1, PPP)
-        added = (X3, Y3, ZZ3, ZZZ3)
+        added = barrier((X3, Y3, ZZ3, ZZZ3))
 
         a_inf = self.affine_is_inf(a)
         p_inf = self.xyzz_is_inf(p)
@@ -196,7 +204,7 @@ class CurveOps:
         out = self._sel(same_x & ~same_y, inf, out)
         out = self._sel(p_inf, self.affine_to_xyzz((ax, ay)), out)
         out = self._sel(a_inf, p, out)
-        return out
+        return barrier(out)
 
     def xyzz_to_affine(self, p):
         """Batch normalization via Montgomery-trick inversion
@@ -243,6 +251,9 @@ class CurveOps:
         D = F.sub(F.sqr(F.add(x, B)), F.add(A, C))
         D = F.add(D, D)
         E = F.add(F.add(A, A), A)
+        if self.curve.a4:
+            a = F.const(self.curve.a4, _any_bshape(self, x))
+            E = F.add(E, F.mul(a, F.sqr(F.sqr(z))))
         FF = F.sqr(E)
         X3 = F.sub(FF, F.add(D, D))
         C8 = F.add(C, C)
@@ -252,7 +263,7 @@ class CurveOps:
         Z3 = F.mul(F.add(y, y), z)
         bad = F.is_zero(y) | F.is_zero(z)
         Z3 = F.select(bad, self._zeros_like(z), Z3)
-        return (X3, Y3, Z3)
+        return barrier((X3, Y3, Z3))
 
     def jacobian_add(self, p, q):
         """Unified add (add-2007-bl, ec/jacobian_t.hpp:236-294) with
@@ -277,7 +288,7 @@ class CurveOps:
         SJ = F.mul(S1, J)
         Y3 = F.sub(F.mul(r, F.sub(V, X3)), F.add(SJ, SJ))
         Z3 = F.mul(F.sub(F.sqr(F.add(Z1, Z2)), F.add(Z1Z1, Z2Z2)), H)
-        added = (X3, Y3, Z3)
+        added = barrier((X3, Y3, Z3))
 
         p_inf = self.jacobian_is_inf(p)
         q_inf = self.jacobian_is_inf(q)
@@ -289,7 +300,7 @@ class CurveOps:
         out = self._sel(same_x & ~same_y, inf, out)
         out = self._sel(q_inf, p, out)
         out = self._sel(p_inf, q, out)
-        return out
+        return barrier(out)
 
     def jacobian_to_affine(self, p):
         F = self.F
@@ -320,11 +331,12 @@ class CurveOps:
     # -- host wire conversion ---------------------------------------------------------
     def affine_from_ints(self, pts):
         """List of oracle AffinePoint (or (x, y, inf) tuples) -> device batch."""
+        zero = (0, 0) if self.degree == 2 else 0
         xs, ys = [], []
         for p in pts:
             inf = getattr(p, "inf", False)
-            x = 0 if inf else p.x
-            y = 0 if inf else p.y
+            x = zero if inf else p.x
+            y = zero if inf else p.y
             xs.append(x)
             ys.append(y)
         if self.degree == 2:

@@ -23,6 +23,25 @@ import numpy as np
 from ..params import FieldParams
 
 
+def barrier(x):
+    """optimization_barrier over a pytree of field values — CPU backend only.
+
+    XLA's CPU emitter for fusions inside while/scan bodies emits one
+    `alwaysinline` helper per operand USE; multi-use (diamond) dataflow
+    then inlines exponentially in LLVM — a chain of a dozen field muls
+    never finishes compiling, and bodies that do compile re-evaluate
+    shared subexpressions per use (measured 32 s/iteration vs 2 ms for
+    one MSM bucket round at (6, 512) lanes).  Pinning each field-op
+    result to a buffer keeps both compile and runtime linear.
+
+    On TPU the (XLA-TPU/Mosaic) emitters share subexpressions properly,
+    so this is the identity there — fusion stays intact on the perf
+    path."""
+    if jax.default_backend() != "cpu":
+        return x
+    return jax.lax.optimization_barrier(x)
+
+
 class BaseField:
     """Shared helpers; subclasses provide add/sub/neg/mul and layout.
 
@@ -44,9 +63,18 @@ class BaseField:
         self.p = params.modulus
 
     def _finalize(self):
-        """Wrap hot ops in jax.jit (call at the end of subclass __init__)."""
+        """Wrap hot ops in jax.jit (call at the end of subclass __init__).
+
+        Each op result additionally passes through `barrier` (no-op on
+        TPU) so that arbitrarily long field-op chains inside lax loop
+        bodies compile linearly on the CPU test backend (see barrier)."""
         for name in self._JIT_OPS:
-            setattr(self, name, jax.jit(getattr(self, name)))
+            fn = jax.jit(getattr(self, name))
+
+            def wrapped(*args, _fn=fn):
+                return barrier(_fn(*args))
+
+            setattr(self, name, wrapped)
         self._pow_cache = {}
         _orig_pow = type(self).pow_const
 
@@ -55,7 +83,7 @@ class BaseField:
             if fn is None:
                 fn = jax.jit(lambda v: _orig(_self, v, e))
                 _self._pow_cache[e] = fn
-            return fn(x)
+            return barrier(fn(x))
 
         self.pow_const = pow_const
 
@@ -136,7 +164,7 @@ class BaseField:
         def body(acc, bit):
             acc = self.sqr(acc)
             acc = self.select(jnp.asarray(bit), self.mul(acc, x), acc)
-            return acc, None
+            return barrier(acc), None
 
         acc, _ = jax.lax.scan(body, x, jnp.asarray(bits[1:]))
         return acc
@@ -145,6 +173,30 @@ class BaseField:
         """Fermat inversion x^(p-2); maps 0 -> 0 (zero-tolerant, the same
         contract as ff/batch_inversion.hpp:18-52)."""
         return self.pow_const(x, self.p - 2)
+
+    def nth_root(self, x, k: int):
+        """x^(1/k) for gcd(k, p-1) == 1 — the heptaroot/pentaroot family
+        used by Poseidon S-boxes (ff/gl64_t.cuh:549-565 heptaroot,
+        ff/baby_bear.hpp:52-67, ff/mersenne31.hpp:425 pentaroot), computed
+        as x^(k^-1 mod p-1) instead of hand-rolled addition chains."""
+        import math
+        if math.gcd(k, self.p - 1) != 1:
+            raise ValueError(f"k={k} shares a factor with p-1")
+        return self.pow_const(x, pow(k, -1, self.p - 1))
+
+    def heptaroot(self, x):
+        return self.nth_root(x, 7)
+
+    def pentaroot(self, x):
+        return self.nth_root(x, 5)
+
+    def sqrt(self, x):
+        """Square root for p = 3 (mod 4) fields: x^((p+1)/4)
+        (ff/mersenne31.hpp:407; returns *a* root — garbage for
+        non-residues, matching the reference contract)."""
+        if self.p % 4 != 3:
+            raise NotImplementedError("sqrt needs p = 3 (mod 4)")
+        return self.pow_const(x, (self.p + 1) // 4)
 
     def batch_inv(self, x, axis: int = -1):
         """Montgomery-trick batch inversion along a batch axis using
@@ -176,6 +228,31 @@ class BaseField:
         out = self.mul(self.mul(pre_shift, suf_shift),
                        jnp.broadcast_to(total_inv, x.shape))
         return self.select(zero_mask, jnp.zeros_like(x), out)
+
+    def batch_inv_tree(self, x):
+        """Batch inversion over the LAST axis via a product tree: up-sweep
+        pair products, ONE Fermat inversion of each root, down-sweep
+        child inverses — ~3 muls per element at log depth (the parallel
+        form of Montgomery's trick, ff/batch_inversion.hpp:18-52).
+
+        Requires a power-of-two axis length and NON-ZERO inputs (callers
+        select degenerate lanes to 1 beforehand)."""
+        n = x.shape[-1]
+        assert n & (n - 1) == 0, "batch_inv_tree needs a power-of-two axis"
+        levels = [x]
+        while levels[-1].shape[-1] > 1:
+            cur = levels[-1]
+            levels.append(self.mul(cur[..., 0::2], cur[..., 1::2]))
+        inv = self.inv(levels[-1])
+        for lvl in reversed(levels[:-1]):
+            left = lvl[..., 0::2]
+            right = lvl[..., 1::2]
+            inv_l = self.mul(inv, right)
+            inv_r = self.mul(inv, left)
+            # interleave back: (.., m, 2) -> (.., 2m)
+            pair = jnp.stack([inv_l, inv_r], axis=-1)
+            inv = pair.reshape(pair.shape[:-2] + (lvl.shape[-1],))
+        return inv
 
     # -- host conversion helpers ---------------------------------------------
     def rand_ints(self, rng, n: int) -> list:

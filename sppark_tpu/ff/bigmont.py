@@ -177,9 +177,10 @@ class BigMontField(BaseField):
             for i in range(self.L):
                 arr[i, c] = (v >> (16 * i)) & 0xFFFF
         if broadcast and batch_shape is not None:
-            arr = np.broadcast_to(arr[:, 0].reshape((self.L,) + (1,) * len(batch_shape)),
-                                  (self.L,) + tuple(batch_shape))
-        elif batch_shape is not None:
+            one = jnp.asarray(arr[:, 0].reshape(
+                (self.L,) + (1,) * len(batch_shape)))
+            return jnp.broadcast_to(one, (self.L,) + tuple(batch_shape))
+        if batch_shape is not None:
             arr = arr.reshape((self.L,) + tuple(batch_shape))
         return jnp.asarray(arr)
 

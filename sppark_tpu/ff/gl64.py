@@ -164,9 +164,11 @@ class GoldilocksField(BaseField):
         lo = np.asarray([v & 0xFFFFFFFF for v in vals], dtype=np.uint32)
         hi = np.asarray([v >> 32 for v in vals], dtype=np.uint32)
         if broadcast and batch_shape is not None:
-            lo = np.broadcast_to(lo[0], tuple(batch_shape))
-            hi = np.broadcast_to(hi[0], tuple(batch_shape))
-        elif batch_shape is not None:
+            pair = jnp.asarray(np.stack([lo[:1], hi[:1]]))   # (2, 1)
+            return jnp.broadcast_to(
+                pair.reshape((2,) + (1,) * len(batch_shape)),
+                (2,) + tuple(batch_shape))
+        if batch_shape is not None:
             lo = lo.reshape(batch_shape)
             hi = hi.reshape(batch_shape)
         return jnp.asarray(np.stack([lo, hi]))

@@ -90,12 +90,14 @@ class Mont32Field(BaseField):
 
     # -- host conversion -----------------------------------------------------
     def from_int_list(self, values, batch_shape=None, broadcast=False):
-        """Canonical ints -> device wire form (Montgomery)."""
+        """Canonical ints -> device wire form (Montgomery).  broadcast=True
+        expands in-graph (jnp.broadcast_to), never materializing an O(n)
+        host array/HLO constant."""
         mont = [self.params.to_mont(v % self.p) for v in values]
         arr = np.asarray(mont, dtype=np.uint32)
         if broadcast and batch_shape is not None:
-            arr = np.broadcast_to(arr[0], tuple(batch_shape))
-        elif batch_shape is not None:
+            return jnp.broadcast_to(jnp.asarray(arr[0]), tuple(batch_shape))
+        if batch_shape is not None:
             arr = arr.reshape(batch_shape)
         return jnp.asarray(arr)
 
@@ -139,8 +141,8 @@ class Mersenne31Field(Mont32Field):
     def from_int_list(self, values, batch_shape=None, broadcast=False):
         arr = np.asarray([v % self.p for v in values], dtype=np.uint32)
         if broadcast and batch_shape is not None:
-            arr = np.broadcast_to(arr[0], tuple(batch_shape))
-        elif batch_shape is not None:
+            return jnp.broadcast_to(jnp.asarray(arr[0]), tuple(batch_shape))
+        if batch_shape is not None:
             arr = arr.reshape(batch_shape)
         return jnp.asarray(arr)
 

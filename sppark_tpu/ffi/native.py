@@ -69,6 +69,8 @@ def cpu_msm(curve, points, scalars: Sequence[int],
     cp: CurveParams = get_curve(curve) if isinstance(curve, str) else curve
     if cp.fp2 is not None:
         raise SpparkError(2, "native CPU MSM supports G1 curves only")
+    if cp.a4:
+        raise SpparkError(2, "native CPU MSM supports a4 == 0 curves only")
     lib = load()
     fl = (cp.field.bits + 63) // 64
     sl = (cp.scalar.bits + 63) // 64

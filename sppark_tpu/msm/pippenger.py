@@ -37,6 +37,7 @@ import numpy as np
 
 from ..params import CurveParams, get_curve
 from ..ec import get_curve_ops, CurveOps
+from ..ff.base import barrier
 from ..ff.bigmont import BigMontField
 from ..oracle.ec import get_oracle, AffinePoint
 from ..oracle.msm import window_bits
@@ -84,7 +85,8 @@ class MSMContext:
     gpu_ptr_t-resident-points path, pippenger.cuh:377-383, 582-601).
     """
 
-    def __init__(self, curve, npoints: int, wbits: int = 0):
+    def __init__(self, curve, npoints: int, wbits: int = 0,
+                 mode: str = "auto"):
         self.curve = get_curve(curve) if isinstance(curve, str) else curve
         self.ops: CurveOps = get_curve_ops(self.curve.name)
         self.npoints = npoints
@@ -96,7 +98,7 @@ class MSMContext:
         self.n_words = (self.scalar_bits + 31) // 32
         self._points_dev = None
         self._fn = _pipeline(self.curve.name, self.wbits, self.nwins,
-                             self.n_words)
+                             self.n_words, mode)
 
     # -- point residency ----------------------------------------------------
     def set_points(self, points):
@@ -150,26 +152,52 @@ class MSMContext:
         return o.jacobian_to_affine(total)
 
 
+class MSMStages:
+    """Separately-jitted phase functions.
+
+    The reference runs breakdown / sort / accumulate / integrate as SEPARATE
+    kernels (msm/pippenger.cuh:412-443, 508-525); keeping them separate jits
+    here too is load-bearing: XLA's compile time on the single monolithic
+    graph grows superlinearly (19+ min where the four phases compile in
+    ~1 min total on the CI box)."""
+
+    def __init__(self, schedule, accumulate, integrate, to_affine):
+        self.schedule = schedule      # words -> (sorted_val, base, occ, rounds)
+        self.accumulate = accumulate  # (sched.., px, py) -> bucket xyzz
+        self.integrate = integrate    # bucket -> per-window xyzz sums
+        self.to_affine = to_affine    # xyzz -> affine (batch normalize)
+
+    def window_sums(self, words, points):
+        px, py = points
+        sorted_val, base, occ, rounds = self.schedule(words)
+        bucket = self.accumulate(sorted_val, base, occ, rounds, px, py)
+        return self.integrate(bucket)
+
+    def __call__(self, words, points):
+        return self.to_affine(self.window_sums(words, points))
+
+
 @functools.lru_cache(maxsize=None)
-def _pipeline(curve_name: str, wbits: int, nwins: int, n_words: int):
-    """Jitted breakdown -> sort -> accumulate -> integrate; returns the
-    per-window sums normalized to affine."""
-    ops = get_curve_ops(curve_name)
-    raw = window_sums_fn(curve_name, wbits, nwins, n_words)
-
-    def run(words, points):
-        return ops.xyzz_to_affine(raw(words, points))
-
-    return jax.jit(run)
+def _pipeline(curve_name: str, wbits: int, nwins: int, n_words: int,
+              mode: str = "auto") -> MSMStages:
+    return MSMStages(*(jax.jit(f) for f in
+                       _stage_bodies(curve_name, wbits, nwins, n_words,
+                                     mode)))
 
 
 @functools.lru_cache(maxsize=None)
-def window_sums_fn(curve_name: str, wbits: int, nwins: int, n_words: int):
-    """Un-jitted local pipeline: (scalar words, affine points) -> per-window
-    xyzz sums, shape (.., nwins).  The sharded MSM wraps this in shard_map
-    (parallel/msm.py); the single-chip path jits it directly."""
+def _stage_bodies(curve_name: str, wbits: int, nwins: int, n_words: int,
+                  mode: str = "auto"):
+    """Un-jitted phase bodies (schedule, accumulate, integrate, to_affine).
+    The sharded MSM wraps each in shard_map (parallel/msm.py); the
+    single-chip path jits each directly.
+
+    mode: "affine" (batch-affine buckets, default for G1), "xyzz" (unified
+    xyzz madd; required for G2 until Fp2 grows batch_inv_tree), "auto"."""
     curve = get_curve(curve_name)
     ops = get_curve_ops(curve_name)
+    if mode == "auto":
+        mode = "xyzz" if ops.degree == 2 else "affine"
     order = curve.scalar.modulus
     nbuckets = 1 << (wbits - 1)
     half = np.uint32(1 << (wbits - 1))
@@ -223,9 +251,13 @@ def window_sums_fn(curve_name: str, wbits: int, nwins: int, n_words: int):
             signs.append(d_neg ^ neg)
         return jnp.stack(ids), jnp.stack(signs)
 
-    def run(words, points):
+    bshape = (nwins, nbuckets)
+    F = ops.F
+
+    def schedule(words):
+        """breakdown + sort + histogram (roles of the breakdown and sort
+        kernels, pippenger.cuh:72-121, msm/sort.cuh)."""
         n = words.shape[1]
-        px, py = points
         ids, signs = breakdown(words)
         # pack (sign, index) into the sort payload (sort.cuh packs sign in
         # bit 31, msm/sort.cuh:115)
@@ -238,12 +270,17 @@ def window_sums_fn(curve_name: str, wbits: int, nwins: int, n_words: int):
         starts = jnp.cumsum(counts, axis=1) - counts     # exclusive prefix
         occ = counts[:, 1:]                               # (nwins, nbuckets)
         base = starts[:, 1:]
-        rounds = jnp.max(occ)                             # traced bound
+        rounds = jnp.max(occ).reshape(1)                  # traced bound
+        return sorted_val, base, occ, rounds
 
-        bshape = (nwins, nbuckets)
-        bucket0 = ops.xyzz_infinity(bshape)
+    def accumulate(sorted_val, base, occ, rounds, px, py):
+        """Histogram-scheduled conflict-free bucket rounds (role of the
+        accumulate kernel, pippenger.cuh:145-223)."""
+        n = sorted_val.shape[-1]
 
-        def round_body(r, bucket):
+        def fetch(r):
+            """Round r's scheduled point per (window, bucket) lane; invalid
+            lanes come back as the affine identity (0, 0)."""
             pos = jnp.minimum(base + r.astype(_U32), np.uint32(n - 1))
             valid = r < occ
             val = jnp.take_along_axis(sorted_val, pos, axis=1)
@@ -251,18 +288,70 @@ def window_sums_fn(curve_name: str, wbits: int, nwins: int, n_words: int):
             sgn = (val >> np.uint32(31)) == 1
             gx = jax.tree.map(lambda a: jnp.take(a, idx, axis=-1), px)
             gy = jax.tree.map(lambda a: jnp.take(a, idx, axis=-1), py)
-            # invalid lanes become the affine point at infinity (0, 0),
-            # which xyzz_madd passes through
-            gx = ops.F.select(valid, gx, ops.F.zeros(bshape))
-            gy = ops.F.select(valid, gy, ops.F.zeros(bshape))
-            return ops.xyzz_madd(bucket, (gx, gy), sign=sgn)
+            gx = F.select(valid, gx, F.zeros(bshape))
+            gy = F.select(valid, gy, F.zeros(bshape))
+            gy = F.select(sgn & valid, F.neg(gy), gy)
+            # loop-body fan-out values MUST be barrier'd (ff/base.py:barrier)
+            return barrier((gx, gy))
 
-        bucket = jax.lax.fori_loop(0, rounds, round_body, bucket0)
+        if mode == "xyzz":
+            def round_body(r, bucket):
+                gx, gy = fetch(r)
+                return barrier(ops.xyzz_madd(bucket, (gx, gy)))
 
-        # -- integrate: W = sum_b (b) * bucket_b over digits b = 1..nbuckets,
-        # as grouped serial acc/res strip reductions — the exact dataflow of
-        # the reference's integrate kernel + host collect
-        # (pippenger.cuh:225-296, 627-665), vectorized over (nwins, G) lanes.
+            return jax.lax.fori_loop(0, rounds[0], round_body,
+                                     ops.xyzz_infinity(bshape))
+        else:
+            # batch-affine accumulation (the "xyzz batch-affine buckets" of
+            # BASELINE.json config 3; GPU MSMs use the same trick): buckets
+            # stay AFFINE, each round does one affine add whose divisions
+            # share a single tree batch-inversion — ~7 field muls per lane
+            # vs ~30 for the unified xyzz madd.  Identity encoded (0, 0)
+            # (consistent with affine_t.hpp:31: a valid point never has
+            # x == y == 0 since b != 0 on every supported curve).
+            def round_body(r, state):
+                bx, by = state
+                gx, ay = fetch(r)
+                a_inf = F.is_zero(gx) & F.is_zero(ay)
+                b_emp = F.is_zero(bx) & F.is_zero(by)
+                same_x = F.eq(bx, gx) & ~a_inf & ~b_emp
+                dbl = same_x & F.eq(by, ay)
+                cancel = same_x & ~F.eq(by, ay)
+                active = (dbl | (~a_inf & ~b_emp & ~same_x))
+                bx2 = F.sqr(bx)
+                dbl_num = F.add(F.add(bx2, bx2), bx2)
+                if curve.a4:
+                    # doubling slope (3x^2 + a) / 2y for a4 != 0 curves
+                    # (the a4 template parameter, ec/jacobian_t.hpp:16)
+                    dbl_num = F.add(dbl_num, F.const(curve.a4, bshape))
+                num = F.select(dbl, dbl_num, F.sub(ay, by))
+                den = F.select(dbl, F.add(by, by), F.sub(gx, bx))
+                den = F.select(active, den, F.const(1, bshape))
+                dinv = barrier(F.batch_inv_tree(den))
+                lam = barrier(F.mul(num, dinv))
+                x3 = barrier(F.sub(F.sub(F.sqr(lam), bx),
+                                   F.select(dbl, bx, gx)))
+                y3 = F.sub(F.mul(lam, F.sub(bx, x3)), by)
+                nx = F.select(active, x3, bx)
+                ny = F.select(active, y3, by)
+                zero = F.zeros(bshape)
+                nx = F.select(cancel, zero, nx)
+                ny = F.select(cancel, zero, ny)
+                promote = b_emp & ~a_inf
+                nx = F.select(promote, gx, nx)
+                ny = F.select(promote, ay, ny)
+                return barrier((nx, ny))
+
+            zeros = F.zeros(bshape)
+            bax, bay = jax.lax.fori_loop(0, rounds[0], round_body,
+                                         (zeros, zeros))
+            return ops.affine_to_xyzz((bax, bay))
+
+    def integrate(bucket):
+        """W = sum_b (b) * bucket_b over digits b = 1..nbuckets, as grouped
+        serial acc/res strip reductions — the exact dataflow of the
+        reference's integrate kernel + host collect (pippenger.cuh:225-296,
+        627-665), vectorized over (nwins, G) lanes."""
         G = min(64, nbuckets)
         C = nbuckets // G
 
@@ -277,9 +366,9 @@ def window_sums_fn(curve_name: str, wbits: int, nwins: int, n_words: int):
 
         def strip_step(carry, b):
             acc, res = carry
-            acc = ops.xyzz_add(acc, b)
+            acc = barrier(ops.xyzz_add(acc, b))
             res = ops.xyzz_add(res, acc)
-            return (acc, res), None
+            return barrier((acc, res)), None
 
         (T, R), _ = jax.lax.scan(strip_step, (zero_g, zero_g), xs)
         # T[g] = sum_c bucket[g,c];  R[g] = sum_c (c+1)*bucket[g,c]
@@ -295,13 +384,13 @@ def window_sums_fn(curve_name: str, wbits: int, nwins: int, n_words: int):
         def group_step(carry, inp):
             accT, sumSuf, sumRes = carry
             t, r, g = inp
-            accT = ops.xyzz_add(accT, t)
+            accT = barrier(ops.xyzz_add(accT, t))
             sumSuf_new = ops.xyzz_add(sumSuf, accT)
             keep = g >= 1
             sumSuf = jax.tree.map(
                 lambda a, b: jnp.where(keep, a, b), sumSuf_new, sumSuf)
             sumRes = ops.xyzz_add(sumRes, r)
-            return (accT, sumSuf, sumRes), None
+            return barrier((accT, sumSuf, sumRes)), None
 
         (_, sumSuf, sumRes), _ = jax.lax.scan(
             group_step, (zero_w, zero_w, zero_w), (Ts, Rs, g_idx))
@@ -310,7 +399,7 @@ def window_sums_fn(curve_name: str, wbits: int, nwins: int, n_words: int):
             sumSuf = ops.xyzz_dbl(sumSuf)
         return ops.xyzz_add(sumRes, sumSuf)               # (.., nwins)
 
-    return run
+    return schedule, accumulate, integrate, ops.xyzz_to_affine
 
 
 # ---------------------------------------------------------------------------

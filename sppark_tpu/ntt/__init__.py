@@ -89,18 +89,29 @@ def base_dev(field, x, lg_domain: int,
              order: InputOutputOrder = InputOutputOrder.NN,
              direction: Direction = Direction.forward,
              ntt_type: Type = Type.standard):
-    """NTT on a device-resident array (NTT::Base_dev_ptr, ntt/ntt.cuh:344)."""
+    """NTT on a device-resident array (NTT::Base_dev_ptr, ntt/ntt.cuh:344).
+
+    Narrow fields route through the fused Pallas kernels; wide fields
+    through the generic XLA stage pipeline."""
+    from .pallas_kernels import use_fused, fused_facade_fn, _fused_tables
+
     name = _field_name(field)
+    params = get_field(name)
+    if lg_domain > params.two_adicity:
+        raise SpparkError(1, f"{name}: 2^{lg_domain} exceeds two-adicity")
     direction = Direction(direction)
     ntt_type = Type(ntt_type)
-    fn = _compiled(name, lg_domain, InputOutputOrder(order).value,
-                   direction.value, ntt_type.value)
+    order = InputOutputOrder(order)
     pm = get_parameters(name)
     inverse = direction == Direction.inverse
-    twiddles = tuple(pm.stage_twiddles(lg_domain, inverse))
-    shift = (pm.coset_powers(lg_domain, inverse)
-             if ntt_type == Type.coset else ())
-    return fn(x, twiddles, shift)
+    coset = ntt_type == Type.coset
+    shift = pm.coset_powers(lg_domain, inverse) if coset else ()
+    if use_fused(name, lg_domain):
+        fn = fused_facade_fn(name, lg_domain, order.value, inverse, coset)
+        return fn(x, _fused_tables(name, lg_domain, inverse), shift)
+    fn = _compiled(name, lg_domain, order.value, direction.value,
+                   ntt_type.value)
+    return fn(x, pm.power_table(lg_domain, inverse), shift)
 
 
 def base(field, inout: np.ndarray, lg_domain: int,
@@ -138,6 +149,8 @@ def coset_intt(field, inout, lg_domain, order=InputOutputOrder.NN):
 
 @functools.lru_cache(maxsize=None)
 def _compiled_lde(field_name: str, lg: int, lg_blowup: int, with_aux: bool):
+    from .pallas_kernels import use_fused, _fused_core
+
     params = get_field(field_name)
     F = get_jax_field(params)
     lg_ext = lg + lg_blowup
@@ -145,19 +158,27 @@ def _compiled_lde(field_name: str, lg: int, lg_blowup: int, with_aux: bool):
         raise SpparkError(1, f"{field_name}: extended domain 2^{lg_ext} "
                              f"exceeds two-adicity")
     scale_int = params.domain_size_inverse(lg)
+    fused = use_fused(field_name, lg)
 
     def run(x, tw_inv, tw_fwd, shift):
         # 1) interpolate: iNTT (input natural, output natural)
-        scale = F.const(scale_int, batch_shape=(1,)) if lg > 0 else None
-        coeffs = ct_stages(F, bit_reverse(x, lg), lg, tw_inv, scale=scale)
         if lg == 0:
             coeffs = F.mul(x, F.const(scale_int, batch_shape=(1,)))
+        elif fused:
+            coeffs = _fused_core(field_name, x, lg, True, tw_inv)
+        else:
+            scale = F.const(scale_int, batch_shape=(1,))
+            coeffs = ct_stages(F, bit_reverse(x, lg), lg, tw_inv,
+                               scale=scale)
         # 2) zero-extend to the blown-up domain
         pad = [(0, 0)] * (coeffs.ndim - 1) + [(0, (1 << lg_ext) - (1 << lg))]
         ext = jnp.pad(coeffs, pad)
         # 3) coset shift + forward NTT over the extended domain
         ext = F.mul(ext, shift)
-        out = ct_stages(F, bit_reverse(ext, lg_ext), lg_ext, tw_fwd)
+        if fused:
+            out = _fused_core(field_name, ext, lg_ext, False, tw_fwd)
+        else:
+            out = ct_stages(F, bit_reverse(ext, lg_ext), lg_ext, tw_fwd)
         if with_aux:
             return out, coeffs
         return out
@@ -166,9 +187,15 @@ def _compiled_lde(field_name: str, lg: int, lg_blowup: int, with_aux: bool):
 
 
 def _lde_args(name: str, lg: int, lg_blowup: int):
+    from .pallas_kernels import use_fused, _fused_tables
+
     pm = get_parameters(name)
-    return (tuple(pm.stage_twiddles(lg, True)),
-            tuple(pm.stage_twiddles(lg + lg_blowup, False)),
+    if use_fused(name, lg):
+        return (_fused_tables(name, lg, True),
+                _fused_tables(name, lg + lg_blowup, False),
+                pm.coset_powers(lg + lg_blowup, False))
+    return (pm.power_table(lg, True),
+            pm.power_table(lg + lg_blowup, False),
             pm.coset_powers(lg + lg_blowup, False))
 
 

@@ -49,10 +49,15 @@ def bit_reverse(x, lg_n: int):
     return jnp.take(x, rev, axis=-1)
 
 
-def ct_stages(F: BaseField, x, lg_n: int, twiddles: List, scale=None):
+def ct_stages(F: BaseField, x, lg_n: int, twiddles, scale=None):
     """All lg_n CT butterfly stages; expects bit-reversed input, returns
-    natural order.  `twiddles[s-1]` has 2^(s-1) entries.  `scale` (optional
-    device element broadcastable to x) is folded into the final stage."""
+    natural order.
+
+    `twiddles` is either the full (.., n/2) power table [w^0..w^(n/2-1)]
+    (stage tables are taken as in-graph strided slices — no per-stage
+    device constants) or a pre-sliced list where entry s-1 has 2^(s-1)
+    twiddles.  `scale` (optional device element broadcastable to x) is
+    folded into the final stage (ct_mixed_radix_narrow.cu:156-162)."""
     n = 1 << lg_n
     lead = x.shape[:-1]      # limb planes (if any) + batch dims
     nl = 1 if F.n_limbs else 0
@@ -62,13 +67,17 @@ def ct_stages(F: BaseField, x, lg_n: int, twiddles: List, scale=None):
         """Shape a (limb?, k) table to broadcast over batch + block axes."""
         return w.reshape(w.shape[:nl] + (1,) * extra + (1, w.shape[-1]))
 
+    is_table = not isinstance(twiddles, (list, tuple))
     for s in range(1, lg_n + 1):
         half = 1 << (s - 1)
         nblocks = n >> s
         v = x.reshape(lead + (nblocks, 2, half))
         lo = v[..., 0, :]
         hi = v[..., 1, :]
-        w = twiddles[s - 1]
+        if is_table:
+            w = twiddles[..., :: 1 << (lg_n - s)]
+        else:
+            w = twiddles[s - 1]
         if s == lg_n and scale is not None:
             # fold 1/N into the final stage (ct_mixed_radix_narrow.cu:156-162)
             w = F.mul(w, scale)

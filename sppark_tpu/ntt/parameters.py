@@ -80,6 +80,65 @@ class NTTParameters:
             tables.append(jnp.take(top, jnp.asarray(idx), axis=-1))
         return tables
 
+    def staged_table(self, lg_domain: int, inverse: bool):
+        """Stage-major twiddle tree of size n: position [2^(s-1) + j] holds
+        stage s's j-th twiddle w^(j << (lg-s)); entry [0] is unused.  Lets
+        kernels take each stage as a STATIC slice [half : 2*half] (Pallas
+        cannot gather/stride arbitrarily in VMEM)."""
+        key = ("staged", inverse, lg_domain)
+        if key not in self._power_tables:
+            top = self.power_table(lg_domain, inverse)
+            parts = [jax.lax.slice_in_dim(top, 0, 1, axis=-1)]  # dummy [0]
+            for s in range(1, lg_domain + 1):
+                parts.append(top[..., :: 1 << (lg_domain - s)])
+            self._power_tables[key] = jax.device_put(
+                jnp.concatenate(parts, axis=-1))
+        return self._power_tables[key]
+
+    def staged_full_table(self, lg_domain: int, inverse: bool):
+        """(.., lg, n) matrix of PER-POSITION stage twiddles:
+        W[s-1, i] = w^((i mod 2^(s-1)) << (lg-s)) — each stage row is the
+        stage's twiddles tiled across the domain so kernels apply them with
+        plain elementwise ops (no reshapes/strided gathers, which Mosaic
+        cannot lower).  Only used for row kernels (lg <= LG_TILE), so the
+        n*lg footprint stays a few MiB."""
+        key = ("staged_full", inverse, lg_domain)
+        if key not in self._power_tables:
+            top = self.power_table(lg_domain, inverse)
+            n = 1 << lg_domain
+            idx = np.zeros((max(lg_domain, 1), n), dtype=np.uint32)
+            for s in range(1, lg_domain + 1):
+                i = np.arange(n, dtype=np.uint32)
+                idx[s - 1] = (i & ((1 << (s - 1)) - 1)) << (lg_domain - s)
+            self._power_tables[key] = jax.device_put(
+                jnp.take(top, jnp.asarray(idx), axis=-1))
+        return self._power_tables[key]
+
+    def middle_twiddle_matrix(self, lg_domain: int, inverse: bool):
+        """Cached (.., N2, N1) four-step twiddle matrix T[i2, k1] =
+        w^(i2*k1) for N1 = 2^(lg/2), N2 = 2^(lg-lg/2).  The gather that
+        builds it is paid once here; per-call it is a plain elementwise
+        multiplier (the gather itself costs ~100 ms at 2^24)."""
+        key = ("mid", inverse, lg_domain)
+        if key not in self._power_tables:
+            top = self.power_table(lg_domain, inverse)
+            n = 1 << lg_domain
+            lg1 = lg_domain // 2
+            n1, n2 = 1 << lg1, 1 << (lg_domain - lg1)
+
+            def build(tf):
+                i2 = jnp.arange(n2, dtype=jnp.uint32)
+                k1 = jnp.arange(n1, dtype=jnp.uint32)
+                idx = (i2[:, None] * k1[None, :]) & np.uint32(n - 1)
+                hi = idx >= np.uint32(n // 2)
+                idx_lo = jnp.where(hi, idx - np.uint32(n // 2), idx)
+                tw = jnp.take(tf, idx_lo, axis=-1)
+                # w^(j + n/2) == -w^j
+                return self.F.select(hi, self.F.neg(tw), tw)
+
+            self._power_tables[key] = jax.jit(build)(top)
+        return self._power_tables[key]
+
     def domain_size_inverse(self, lg_domain: int):
         return self.params.domain_size_inverse(lg_domain)
 

@@ -132,14 +132,16 @@ class CurveOracle:
         F = self.F
         if _is_zero(F, p.z) or _is_zero(F, p.y):
             return self.infinity_jacobian()
-        assert not self.curve.a4, "a4 != 0 doubling not needed by in-tree curves"
-        # dbl-2009-l (a = 0): ec/jacobian_t.hpp:347-384
+        # dbl-2009-l generalized with M = 3X^2 + a*Z^4 (the a4 template
+        # parameter of ec/jacobian_t.hpp:16; in-tree curves have a = 0)
         A = F.sqr(p.x)
         B = F.sqr(p.y)
         C = F.sqr(B)
         D = F.sub(F.sqr(F.add(p.x, B)), F.add(A, C))
         D = F.add(D, D)
         E = F.add(F.add(A, A), A)
+        if self.curve.a4:
+            E = F.add(E, F.mul(self.curve.a4, F.sqr(F.sqr(p.z))))
         Fq = F.sqr(E)
         X3 = F.sub(Fq, F.add(D, D))
         C8 = F.add(F.add(C, C), F.add(C, C))
@@ -181,12 +183,15 @@ class CurveOracle:
         F = self.F
         if _is_zero(F, p.zz) or _is_zero(F, p.y):
             return self.infinity_xyzz()
-        # dbl-2008-s-1 on xyzz (ec/xyzz_t.hpp doubling leg, 6M+3S)
+        # dbl-2008-s-1 on xyzz (ec/xyzz_t.hpp doubling leg, 6M+3S),
+        # M = 3X^2 + a*ZZ^2 for the a4 != 0 template case
         U = F.add(p.y, p.y)
         V = F.sqr(U)
         W = F.mul(U, V)
         S = F.mul(p.x, V)
         M = F.mul(F.sqr(p.x), 3 if not isinstance(F, Fp2) else (3, 0))
+        if self.curve.a4:
+            M = F.add(M, F.mul(self.curve.a4, F.sqr(p.zz)))
         X3 = F.sub(F.sqr(M), F.add(S, S))
         Y3 = F.sub(F.mul(M, F.sub(S, X3)), F.mul(W, p.y))
         ZZ3 = F.mul(V, p.zz)

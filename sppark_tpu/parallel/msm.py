@@ -1,13 +1,19 @@
 """Mesh-sharded Pippenger MSM.
 
 Points and scalars are block-sharded over the mesh axis; each device runs
-the full local pipeline (breakdown/sort/accumulate/integrate — the same
-function the single-chip path jits, msm/pippenger.py:window_sums_fn) on its
-n/D points, then the tiny per-window partial sums (nwins xyzz points, a few
-KB) are all_gathered and tree-reduced in-graph.  This replaces the
-reference's "independent GPUs addressed by device_id" non-design
-(util/all_gpus.cpp:39-63) with a real scale-out story: the communication
-volume is O(nwins * D), independent of n.
+the full local pipeline on its n/D points, then the tiny per-window partial
+sums (nwins xyzz points, a few KB) are all_gathered and tree-reduced
+in-graph.  This replaces the reference's "independent GPUs addressed by
+device_id" non-design (util/all_gpus.cpp:39-63) with a real scale-out
+story: communication volume is O(nwins * D), independent of n.
+
+Window-sum linearity makes per-shard integration exact:
+sum_shard W_shard = sum_b b * (sum_shard bucket_b^shard).
+
+Each phase is its own shard_map-wrapped jit — same phase split as the
+single-chip path (msm/pippenger.py:MSMStages), which keeps XLA compile
+times linear.  Per-shard intermediates (histograms, buckets) travel
+between phases as global arrays stacked along the mesh axis.
 """
 
 from __future__ import annotations
@@ -16,48 +22,61 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..params import get_curve
 from ..ec import get_curve_ops
+from ..ff.base import barrier
 from ..oracle.ec import AffinePoint, get_oracle
 from ..oracle.msm import window_bits
-from ..msm.pippenger import window_sums_fn, _scalar_words_from_ints
+from ..msm.pippenger import _stage_bodies, _scalar_words_from_ints
 from .mesh import AXIS
 from .ntt import _mesh_key, _MESHES
 
 
 @functools.lru_cache(maxsize=None)
-def _sharded_fn(curve_name: str, wbits: int, nwins: int, n_words: int,
-                mesh_key):
+def _sharded_stages(curve_name: str, wbits: int, nwins: int, n_words: int,
+                    mesh_key):
     mesh = _MESHES[mesh_key]
     ops = get_curve_ops(curve_name)
-    raw = window_sums_fn(curve_name, wbits, nwins, n_words)
+    schedule, accumulate, integrate, to_affine = _stage_bodies(
+        curve_name, wbits, nwins, n_words)
     nl = 1 if ops.base.n_limbs else 0
 
-    def body(words, px, py):
-        win = raw(words, (px, py))                 # local (.., nwins) xyzz
-        # gather the D partial window sums and fold (scan: one add body)
+    # per-shard intermediates stack along the LAST axis (bucket axis for
+    # histograms/buckets, a length-D axis for the rounds bound)
+    last_axis = P(None, AXIS)
+    coord_spec = P(*([None] * nl + [AXIS]))
+    bucket_spec = P(*([None] * nl + [None, AXIS]))
+    rep_spec = P(*([None] * (nl + 1)))
+
+    sched = jax.jit(shard_map(
+        schedule, mesh=mesh, in_specs=(P(None, AXIS),),
+        out_specs=(last_axis, last_axis, last_axis, P(AXIS)),
+        check_vma=False))
+    acc = jax.jit(shard_map(
+        accumulate, mesh=mesh,
+        in_specs=(last_axis, last_axis, last_axis, P(AXIS),
+                  coord_spec, coord_spec),
+        out_specs=bucket_spec, check_vma=False))
+
+    def integrate_fold(bucket):
+        win = integrate(bucket)                    # local (.., nwins) xyzz
         gathered = jax.lax.all_gather(win, AXIS)   # leaves (D, .., nwins)
         first = jax.tree.map(lambda a: a[0], gathered)
         rest = jax.tree.map(lambda a: a[1:], gathered)
 
-        def step(acc, q):
-            return ops.xyzz_add(acc, q), None
+        def step(carry, q):
+            return barrier(ops.xyzz_add(carry, q)), None
 
         total, _ = jax.lax.scan(step, first, rest)
         return ops.xyzz_to_affine(total)
 
-    coord_spec = P(*([None] * nl + [AXIS]))
-    rep_spec = P(*([None] * (nl + 1)))      # replicated after the fold
-    fn = shard_map(
-        body, mesh=mesh,
-        in_specs=(P(None, AXIS), coord_spec, coord_spec),
-        out_specs=rep_spec,
-        check_vma=False)
-    return jax.jit(fn)
+    integ = jax.jit(shard_map(
+        integrate_fold, mesh=mesh, in_specs=(bucket_spec,),
+        out_specs=rep_spec, check_vma=False))
+    return sched, acc, integ
 
 
 def msm_sharded(curve, points, scalars, mesh: Mesh,
@@ -85,8 +104,11 @@ def msm_sharded(curve, points, scalars, mesh: Mesh,
         scalars = _scalar_words_from_ints(scalars, cparams.scalar.modulus,
                                           n_words)
     words = jnp.asarray(scalars)
-    fn = _sharded_fn(cparams.name, wbits, nwins, n_words, _mesh_key(mesh))
-    wx, wy = fn(words, *pts_dev)
+    sched, acc, integ = _sharded_stages(cparams.name, wbits, nwins, n_words,
+                                        _mesh_key(mesh))
+    sorted_val, base, occ, rounds = sched(words)
+    bucket = acc(sorted_val, base, occ, rounds, *pts_dev)
+    wx, wy = integ(bucket)
 
     # host doubling merge (identical to the single-chip collect)
     o = get_oracle(cparams)

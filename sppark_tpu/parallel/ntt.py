@@ -72,8 +72,8 @@ def _matrix_fn(field_name: str, lg_n: int, inverse: bool, mesh_key,
     F = get_jax_field(field_name)
     pm = get_parameters(field_name)
     lg1, lg2 = _split(lg_n)
-    tw1 = pm.stage_twiddles(lg1, inverse)
-    tw2 = pm.stage_twiddles(lg2, inverse)
+    tw1 = pm.power_table(lg1, inverse)
+    tw2 = pm.power_table(lg2, inverse)
     scale_int = params.domain_size_inverse(lg_n) if inverse else None
     lead = (F.n_limbs,) if F.n_limbs else ()
     nl = len(lead)

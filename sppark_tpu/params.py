@@ -269,6 +269,22 @@ VESTA_G1 = CurveParams("vesta", VESTA_Q, PALLAS_P, b=5)     # h=1
 # tests of group arithmetic.
 TOY_BB31_G1 = CurveParams("toy_bb31", BABY_BEAR, BABY_BEAR, b=1)
 
+# Genuine small test curve: y^2 = x^3 + 10x + 2 over the Goldilocks field.
+# #E = 18446744061260817534 = 2 * 3^2 * r with prime
+# r = 1024819114514489863 (60 bits); the subgroup of order r (cofactor 18)
+# is a real prime-order group with cheap (2-word) field arithmetic and
+# 2-word scalars — MSM/EC structure tests run against the oracle in seconds
+# where a 256-bit curve needs minutes of XLA compile.  Order found by
+# BSGS over the Hasse interval + Pollard rho (not a standard curve).
+TEST_GL64_FR = FieldParams(
+    name="test_gl64_fr",
+    modulus=1024819114514489863,
+    generator=3,                 # arbitrary; no NTT use (two-adicity is 1)
+    montgomery_wire=False,
+)
+TEST_GL64_G1 = CurveParams("test_gl64", GOLDILOCKS, TEST_GL64_FR,
+                           b=2, a4=10, cofactor=18)
+
 # G2 curves: b in Fp2.
 _381_b2 = 4
 BLS12_381_G2 = CurveParams(
@@ -305,7 +321,8 @@ FIELDS = {
 CURVES = {
     c.name: c
     for c in [BN254_G1, BLS12_381_G1, BLS12_377_G1, PALLAS_G1, VESTA_G1,
-              BLS12_381_G2, BN254_G2, BLS12_377_G2, TOY_BB31_G1]
+              BLS12_381_G2, BN254_G2, BLS12_377_G2, TOY_BB31_G1,
+              TEST_GL64_G1]
 }
 
 

@@ -9,26 +9,38 @@ jax.config before any computation runs.
 """
 
 import os
+import resource
+
+# XLA/LLVM recurses deeply on big-field graphs; the default 8 MiB main-thread
+# stack flakily segfaults mid-suite (Linux grows the main stack up to the
+# rlimit, so raising it at runtime is effective).
+try:
+    resource.setrlimit(resource.RLIMIT_STACK,
+                       (resource.RLIM_INFINITY, resource.RLIM_INFINITY))
+except (ValueError, OSError):
+    pass
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-# The big-field EC graphs take minutes through LLVM at full opt on this
-# single-core CI box; tests are correctness-only, so drop the backend opt
-# level (results are identical, compiles ~2x faster).
-if "xla_backend_optimization_level" not in flags:
-    flags = (flags + " --xla_backend_optimization_level=0"
-             " --xla_llvm_disable_expensive_passes=true").strip()
+# Trim the costliest LLVM passes (big-field EC graphs take minutes through
+# LLVM on this single-core box).  Do NOT drop the backend opt level: at
+# --xla_backend_optimization_level=0 the generated CODE is ~100x slower
+# (loop bodies run essentially interpreted), which turns a 20-round MSM
+# accumulate into minutes of runtime.
+if "xla_llvm_disable_expensive_passes" not in flags:
+    flags = (flags + " --xla_llvm_disable_expensive_passes=true").strip()
 os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
-# persistent compile cache: the big-field graphs take seconds each to build
-jax.config.update("jax_compilation_cache_dir", "/tmp/sppark_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: the persistent compilation cache is intentionally NOT enabled here —
+# executable serialization during cache writes segfaulted flakily on this
+# jaxlib (jax/_src/compilation_cache.py:put_executable_and_time); the
+# backend-opt-level-0 flag above keeps cold compiles acceptable instead.
 
 import random  # noqa: E402
 
@@ -38,3 +50,16 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return random.Random(0x5BBA2C)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Drop compiled executables between test modules.
+
+    A full-suite run accumulates ~17 GB of live jitted executables (big-field
+    MSM/NTT graphs); past ~60 compiles the XLA CPU JIT segfaulted
+    deterministically mid-compile (reproduced twice at the same test, never
+    in any file run in isolation).  Clearing per module keeps the process
+    state small at the cost of some recompiles within later modules."""
+    yield
+    jax.clear_caches()

@@ -4,6 +4,12 @@ Test-vector protocol mirrors the reference's planted edge cases
 (poc/msm-cuda/src/util.rs:24-35): a small random point set replicated up to
 size, with an explicit infinity point planted at index 3, plus zero scalars
 and scalars > order/2 (the signed-digit fold path).
+
+Structure tests run on the test_gl64 curve (a real 60-bit prime-order
+group over the Goldilocks field, params.py:TEST_GL64_G1) — its 2-word field
+ops compile in seconds on the CPU CI box where a 256-bit curve's graph
+takes minutes; the 256-bit curves are covered by @slow variants, by the
+native C++ path (tests/test_native.py), and by the TPU verify/bench runs.
 """
 
 import random
@@ -14,6 +20,9 @@ from sppark_tpu.params import get_curve
 from sppark_tpu.msm import MSMContext, mult_pippenger
 from sppark_tpu.oracle.ec import get_oracle, AffinePoint
 from sppark_tpu.oracle.msm import msm_naive, msm_pippenger
+
+FAST_CURVE = "test_gl64"
+_WBITS = 8
 
 
 def make_inputs(curve_name, n, rng, distinct=8):
@@ -35,35 +44,23 @@ def make_inputs(curve_name, n, rng, distinct=8):
     return points, scalars
 
 
-# wbits=6 keeps the compiled graph small on the single-core CI box; the
-# production window policy (wbits>=10) is exercised by bench.py on TPU.
-_WBITS = 6
-
-
-@pytest.mark.parametrize("curve", ["pallas"])
-def test_msm_matches_oracle(curve, rng):
-    n = 64
-    points, scalars = make_inputs(curve, n, rng)
-    got = mult_pippenger(curve, points, scalars, wbits=_WBITS)
-    want = msm_naive(get_curve(curve), points, scalars)
-    assert (got.x, got.y, got.inf) == (want.x, want.y, want.inf)
-
-
-@pytest.mark.slow
-@pytest.mark.parametrize("curve", ["bn254", "bls12_381"])
-def test_msm_matches_oracle_slow(curve, rng):
-    n = 64
-    points, scalars = make_inputs(curve, n, rng)
-    got = mult_pippenger(curve, points, scalars, wbits=_WBITS)
-    want = msm_naive(get_curve(curve), points, scalars)
+@pytest.mark.parametrize("mode", ["affine", "xyzz"])
+def test_msm_matches_oracle(mode, rng):
+    """Both accumulation strategies (batch-affine buckets and unified xyzz
+    madd) against the naive oracle, edge cases planted."""
+    n = 96
+    points, scalars = make_inputs(FAST_CURVE, n, rng)
+    ctx = MSMContext(FAST_CURVE, n, wbits=_WBITS, mode=mode)
+    got = ctx.invoke(scalars, points=points)
+    want = msm_naive(get_curve(FAST_CURVE), points, scalars)
     assert (got.x, got.y, got.inf) == (want.x, want.y, want.inf)
 
 
 def test_msm_oracle_pippenger_self_check(rng):
     """The oracle's own bucket method equals naive (validates the signed
     digit encoding both implementations share)."""
-    curve = get_curve("pallas")
-    points, scalars = make_inputs("pallas", 32, rng)
+    curve = get_curve(FAST_CURVE)
+    points, scalars = make_inputs(FAST_CURVE, 32, rng)
     a = msm_pippenger(curve, points, scalars)
     b = msm_naive(curve, points, scalars)
     assert (a.x, a.y, a.inf) == (b.x, b.y, b.inf)
@@ -72,9 +69,9 @@ def test_msm_oracle_pippenger_self_check(rng):
 def test_msm_context_reuse(rng):
     """Device-resident points reused across invocations
     (pippenger.cuh:582-601 device-pointer overloads)."""
-    curve = get_curve("pallas")
-    points, scalars = make_inputs("pallas", 32, rng)
-    ctx = MSMContext("pallas", len(points), wbits=_WBITS)
+    curve = get_curve(FAST_CURVE)
+    points, scalars = make_inputs(FAST_CURVE, 32, rng)
+    ctx = MSMContext(FAST_CURVE, len(points), wbits=_WBITS)
     ctx.set_points(points)
     got1 = ctx.invoke(scalars)
     scalars2 = [s + 1 for s in scalars]
@@ -86,9 +83,47 @@ def test_msm_context_reuse(rng):
 
 
 def test_msm_all_zero_scalars(rng):
-    points, _ = make_inputs("pallas", 16, rng)
-    got = mult_pippenger("pallas", points, [0] * 16, wbits=_WBITS)
+    points, _ = make_inputs(FAST_CURVE, 16, rng)
+    got = mult_pippenger(FAST_CURVE, points, [0] * 16, wbits=_WBITS)
     assert got.inf
+
+
+def test_msm_single_point(rng):
+    """n = 1 falls back to the same pipeline (the reference special-cases
+    n==1 with double-and-add, msm/pippenger.hpp:192-214 — semantics must
+    agree)."""
+    curve = get_curve(FAST_CURVE)
+    o = get_oracle(curve)
+    p = o.random_point(rng)
+    k = rng.randrange(curve.scalar.modulus)
+    got = mult_pippenger(FAST_CURVE, [p], [k], wbits=_WBITS)
+    want = o.jacobian_to_affine(o.scalar_mul(p, k))
+    assert (got.x, got.y) == (want.x, want.y)
+
+
+def test_msm_duplicate_points_same_bucket(rng):
+    """Identical (point, scalar) pairs force bucket-level doublings — the
+    collision leg of the affine accumulator."""
+    curve = get_curve(FAST_CURVE)
+    o = get_oracle(curve)
+    p = o.random_point(rng)
+    n = 16
+    points = [p] * n
+    k = rng.randrange(curve.scalar.modulus)
+    scalars = [k] * n
+    got = mult_pippenger(FAST_CURVE, points, scalars, wbits=_WBITS)
+    want = o.jacobian_to_affine(o.scalar_mul(p, k * n))
+    assert (got.x, got.y, got.inf) == (want.x, want.y, want.inf)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("curve", ["pallas", "bn254", "bls12_381"])
+def test_msm_matches_oracle_256bit(curve, rng):
+    n = 64
+    points, scalars = make_inputs(curve, n, rng)
+    got = mult_pippenger(curve, points, scalars, wbits=6)
+    want = msm_naive(get_curve(curve), points, scalars)
+    assert (got.x, got.y, got.inf) == (want.x, want.y, want.inf)
 
 
 @pytest.mark.slow
@@ -101,19 +136,6 @@ def test_msm_g2(rng):
     points[3] = AffinePoint((0, 0), (0, 0), True)
     scalars = [rng.randrange(curve.scalar.modulus) for _ in range(n)]
     scalars[0] = 0
-    got = mult_pippenger("bls12_381_g2", points, scalars, wbits=_WBITS)
+    got = mult_pippenger("bls12_381_g2", points, scalars, wbits=6)
     want = msm_naive(curve, points, scalars)
     assert (got.x, got.y, got.inf) == (want.x, want.y, want.inf)
-
-
-def test_msm_single_point(rng):
-    """n = 1 falls back to the same pipeline (the reference special-cases
-    n==1 with double-and-add, msm/pippenger.hpp:192-214 — semantics must
-    agree)."""
-    curve = get_curve("pallas")
-    o = get_oracle(curve)
-    p = o.random_point(rng)
-    k = rng.randrange(curve.scalar.modulus)
-    got = mult_pippenger("pallas", [p], [k], wbits=_WBITS)
-    want = o.jacobian_to_affine(o.scalar_mul(p, k))
-    assert (got.x, got.y) == (want.x, want.y)

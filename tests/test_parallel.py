@@ -64,22 +64,24 @@ def test_ntt_matrix_layout(mesh, rng):
             assert got[k1 * n2 + k2] == want[k1 + n1 * k2], (k1, k2)
 
 
-def test_msm_sharded_toy_runs(mesh, rng):
-    """Full sharded MSM pipeline executes on the mesh (toy curve: compile
-    validation; group-law correctness is covered by the pallas test)."""
-    curve = get_curve("toy_bb31")
-    p = curve.field.modulus
+def test_msm_sharded_matches_oracle(mesh, rng):
+    """Full sharded MSM on the mesh vs the naive oracle, on the real
+    small test curve (params.py:TEST_GL64_G1)."""
+    curve = get_curve("test_gl64")
+    o = get_oracle(curve)
     n = 64
-    # arbitrary non-infinity (x, y) pairs — the pipeline only needs shapes
-    pts = [AffinePoint(rng.randrange(1, p), rng.randrange(1, p), False)
-           for _ in range(n)]
+    base = [o.random_point(rng) for _ in range(8)]
+    points = [base[i % 8] for i in range(n)]
+    points[3] = AffinePoint(0, 0, True)
     scalars = [rng.randrange(curve.scalar.modulus) for _ in range(n)]
-    out = msm_sharded("toy_bb31", pts, scalars, mesh, wbits=4)
-    assert out is not None
+    scalars[1] = 0
+    got = msm_sharded("test_gl64", points, scalars, mesh, wbits=8)
+    want = msm_naive(curve, points, scalars)
+    assert (got.x, got.y, got.inf) == (want.x, want.y, want.inf)
 
 
 @pytest.mark.slow
-def test_msm_sharded_matches_oracle(mesh, rng):
+def test_msm_sharded_matches_oracle_256(mesh, rng):
     curve = get_curve("pallas")
     o = get_oracle(curve)
     n = 64
