@@ -316,6 +316,8 @@ class CurveOracle:
         for trial in range(10000):
             x = (rng.randrange(p), rng.randrange(p))
             rhs = F.add(F.mul(F.sqr(x), x), self.b)
+            if self.curve.a4:
+                rhs = F.add(rhs, F.mul((self.curve.a4, 0), x))
             y = _sqrt_fp2(rhs, p, F.nr)
             if y is not None:
                 return AffinePoint(x, y, False)

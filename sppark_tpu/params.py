@@ -285,6 +285,25 @@ TEST_GL64_FR = FieldParams(
 TEST_GL64_G1 = CurveParams("test_gl64", GOLDILOCKS, TEST_GL64_FR,
                            b=2, a4=10, cofactor=18)
 
+# G2-analog test curve: y^2 = x^3 + 2 over GF(p^2) for the Goldilocks p,
+# GF(p^2) = F_p[u]/(u^2 - 7) (7 is a nonresidue mod p).  The j = 0 curve's
+# trace over F_p is t = 2^32 + 1 (from 4p = L^2 + 27 M^2, L = 2^32+1,
+# M = (2^32-1)/3, Deuring), so #E(F_p) = N = p + 1 - t and
+# #E(F_p^2) = N * (p + 1 + t) with p + 1 + t = 467443687 * 39463029637.
+# The prime-order-39463029637 subgroup (~35-bit scalars) has genuinely
+# quadratic coordinates — it exercises the full fp2 MSM/EC machinery
+# (ff/alt_bn128-fp2.hpp's warp-pair role) at gl64 compile cost.
+GOLDILOCKS_FP2 = Fp2Params("goldilocks_fp2", GOLDILOCKS, 7)
+TEST_GL64_G2_FR = FieldParams(
+    name="test_gl64_g2_fr",
+    modulus=39463029637,
+    generator=2,                 # arbitrary; no NTT use
+    montgomery_wire=False,
+)
+TEST_GL64_G2 = CurveParams(
+    "test_gl64_g2", GOLDILOCKS, TEST_GL64_G2_FR, b=2, fp2=GOLDILOCKS_FP2,
+    cofactor=18446744065119617025 * 467443687)
+
 # G2 curves: b in Fp2.
 _381_b2 = 4
 BLS12_381_G2 = CurveParams(
@@ -322,7 +341,7 @@ CURVES = {
     c.name: c
     for c in [BN254_G1, BLS12_381_G1, BLS12_377_G1, PALLAS_G1, VESTA_G1,
               BLS12_381_G2, BN254_G2, BLS12_377_G2, TOY_BB31_G1,
-              TEST_GL64_G1]
+              TEST_GL64_G1, TEST_GL64_G2]
 }
 
 

@@ -126,8 +126,30 @@ def test_msm_matches_oracle_256bit(curve, rng):
     assert (got.x, got.y, got.inf) == (want.x, want.y, want.inf)
 
 
-@pytest.mark.slow
 def test_msm_g2(rng):
+    """Fp2 MSM structure (xyzz mode, warp-pair fp2 role of
+    ff/alt_bn128-fp2.hpp) on the Goldilocks-Fp2 G2-analog curve — same code
+    path as the production G2 curves at gl64 compile cost."""
+    curve = get_curve("test_gl64_g2")
+    o = get_oracle(curve)
+    base = [o.random_point(rng) for _ in range(4)]
+    n = 16
+    points = [base[i % 4] for i in range(n)]
+    points[3] = AffinePoint((0, 0), (0, 0), True)
+    scalars = [rng.randrange(curve.scalar.modulus) for _ in range(n)]
+    scalars[0] = 0
+    scalars[2] = curve.scalar.modulus - 1
+    got = mult_pippenger("test_gl64_g2", points, scalars, wbits=6)
+    want = msm_naive(curve, points, scalars)
+    assert (got.x, got.y, got.inf) == (want.x, want.y, want.inf)
+
+
+@pytest.mark.xslow
+def test_msm_g2_bls12_381(rng):
+    """Production-size G2: the 381-bit Fp2 while-loop graph takes tens of
+    minutes of LLVM on the CPU CI box, so this runs only with -m xslow
+    (the reference's CI likewise never executes GPU kernels, ci.yml:14-159;
+    the code path is covered by test_msm_g2 on the fp2 test curve)."""
     curve = get_curve("bls12_381_g2")
     o = get_oracle(curve)
     base = [o.random_point(rng) for _ in range(4)]
