@@ -29,21 +29,21 @@ from ..ff.base import BaseField
 
 
 def powers_of(F: BaseField, base_int: int, n: int, mul_by: int = 1):
-    """Device array [c, c*w, c*w^2, ..., c*w^(n-1)] (c = mul_by), built as a
-    single fixed-shape jitted bit-plane product."""
+    """Device array [c, c*w, c*w^2, ..., c*w^(n-1)] (c = mul_by), built by
+    doubling concatenation: T_{2m} = [T_m, T_m * w^m].  Total work is ~n
+    field muls (vs n*lg for the bit-plane product) with no selects, so the
+    2^24 table builds in milliseconds instead of minutes."""
     w = base_int % F.p
     lg = max((n - 1).bit_length(), 1)
     # host: w^(2^k) as wire constants
     step_ints = [pow(w, 1 << k, F.p) for k in range(lg)]
 
     def build():
-        idx = jnp.arange(n, dtype=jnp.uint32)
-        acc = F.const(mul_by % F.p, batch_shape=(n,))
+        acc = F.const(mul_by % F.p, batch_shape=(1,))
         for k in range(lg):
-            stepped = F.mul(acc, F.const(step_ints[k], batch_shape=(n,)))
-            bit = (idx >> k) & 1
-            acc = F.select(bit == 1, stepped, acc)
-        return acc
+            hi = F.mul(acc, F.const(step_ints[k], batch_shape=(1,)))
+            acc = jnp.concatenate([acc, hi], axis=-1)
+        return acc[..., :n]
 
     return jax.jit(build)()
 
@@ -116,27 +116,32 @@ class NTTParameters:
 
     def middle_twiddle_matrix(self, lg_domain: int, inverse: bool):
         """Cached (.., N2, N1) four-step twiddle matrix T[i2, k1] =
-        w^(i2*k1) for N1 = 2^(lg/2), N2 = 2^(lg-lg/2).  The gather that
-        builds it is paid once here; per-call it is a plain elementwise
-        multiplier (the gather itself costs ~100 ms at 2^24)."""
+        w^(i2*k1) for N1 = 2^(lg/2), N2 = 2^(lg-lg/2).
+
+        Built gather-free by exponent doubling: with P_m[k1] = w^(m*k1),
+        T rows [m, 2m) = T rows [0, m) * P_m and P_2m = P_m^2 — lg(N2)
+        elementwise doubling steps, ~one field mul per matrix element
+        total (a row gather at 2^24 took minutes through XLA's gather
+        path; this builds in milliseconds)."""
         key = ("mid", inverse, lg_domain)
         if key not in self._power_tables:
-            top = self.power_table(lg_domain, inverse)
-            n = 1 << lg_domain
+            root = (self.params.inv_root_of_unity(lg_domain) if inverse
+                    else self.params.root_of_unity(lg_domain))
             lg1 = lg_domain // 2
-            n1, n2 = 1 << lg1, 1 << (lg_domain - lg1)
+            n1, lg2 = 1 << lg1, lg_domain - lg1
+            F = self.F
+            # only w^[0, n1) is needed — NOT the full 2^(lg-1) power table
+            base = powers_of(F, root, n1)
 
             def build(tf):
-                i2 = jnp.arange(n2, dtype=jnp.uint32)
-                k1 = jnp.arange(n1, dtype=jnp.uint32)
-                idx = (i2[:, None] * k1[None, :]) & np.uint32(n - 1)
-                hi = idx >= np.uint32(n // 2)
-                idx_lo = jnp.where(hi, idx - np.uint32(n // 2), idx)
-                tw = jnp.take(tf, idx_lo, axis=-1)
-                # w^(j + n/2) == -w^j
-                return self.F.select(hi, self.F.neg(tw), tw)
+                T = F.ones((1, n1))                    # row i2 = 0
+                P = tf[..., None, :]                   # w^k1 as (.., 1, n1)
+                for _ in range(lg2):
+                    T = jnp.concatenate([T, F.mul(T, P)], axis=-2)
+                    P = F.sqr(P)
+                return T
 
-            self._power_tables[key] = jax.jit(build)(top)
+            self._power_tables[key] = jax.jit(build)(base)
         return self._power_tables[key]
 
     def domain_size_inverse(self, lg_domain: int):
