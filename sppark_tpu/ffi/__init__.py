@@ -11,5 +11,7 @@ Mirrors the reference's FFI vocabulary (rust/src/lib.rs, go/sppark.go):
 """
 
 from .native import load, cpu_msm, cpu_available
+from .loader import load_source, build, NativeModule, check_error
 
-__all__ = ["load", "cpu_msm", "cpu_available"]
+__all__ = ["load", "cpu_msm", "cpu_available",
+           "load_source", "build", "NativeModule", "check_error"]
