@@ -63,6 +63,28 @@ def _roll(x, shift: int):
     return pltpu.roll(x, shift % n, axis=x.ndim - 1)
 
 
+def _bitrev_lanes(ops: _RawOps, x, lg: int):
+    """Bit-reverse permutation along the last axis, entirely in VMEM.
+
+    The permutation factors into lg/2 independent mirrored-bit-pair swaps;
+    each swap moves elements by a fixed +/-d, so it is two static lane
+    rolls and selects — no gather, no extra HBM pass (the role of the
+    bit_rev_permutation kernels, ntt/kernels.cu:16-129, done for free
+    inside the butterfly kernel's tile)."""
+    nl = 1 if ops.n_limbs else 0
+    lane = jax.lax.broadcasted_iota(jnp.uint32, x.shape[nl:], x.ndim - nl - 1)
+    for k in range(lg // 2):
+        lo, hi = k, lg - 1 - k
+        d = (1 << hi) - (1 << lo)
+        blo = (lane >> np.uint32(lo)) & np.uint32(1)
+        bhi = (lane >> np.uint32(hi)) & np.uint32(1)
+        take_up = (blo == 1) & (bhi == 0)     # comes from index i + d
+        take_dn = (blo == 0) & (bhi == 1)     # comes from index i - d
+        x = ops.select(take_up, _roll(x, -d),
+                       ops.select(take_dn, _roll(x, d), x))
+    return x
+
+
 def _stages_roll(ops: _RawOps, x, lg: int, table):
     """All lg CT stages along the last axis (bit-reversed input, natural
     output).  `table` = (.., lg, n) staged_full_table; everything stays in
@@ -82,35 +104,50 @@ def _stages_roll(ops: _RawOps, x, lg: int, table):
 
 
 @functools.lru_cache(maxsize=None)
-def _rows_kernel(field_name: str, lg: int, rows_pb: int):
+def _rows_kernel(field_name: str, lg: int, rows_pb: int,
+                 with_mul: bool = False):
     """pallas_call: batched independent NTTs along the last axis.
-    Input (.., B, n) bit-reversed rows; output natural order."""
+    Input (.., B, n) NATURAL-order rows (bit-reversal happens in VMEM);
+    output natural order.  With `with_mul`, a per-row multiplier block of
+    the same (.., B, n) layout is applied to the OUTPUT — this fuses the
+    four-step middle twiddle multiply into the column-NTT kernel so it
+    costs no separate HBM pass."""
     F = get_jax_field(field_name)
     ops = _RawOps(F)
     nl = 1 if F.n_limbs else 0
     n = 1 << lg
     limb = (F.n_limbs,) if nl else ()
 
-    def kernel(x_ref, tw_ref, out_ref):
-        out_ref[:] = _stages_roll(ops, x_ref[:], lg, tw_ref[:])
+    def kernel(x_ref, tw_ref, *rest):
+        out_ref = rest[-1]
+        x = _bitrev_lanes(ops, x_ref[:], lg)
+        y = _stages_roll(ops, x, lg, tw_ref[:])
+        if with_mul:
+            y = ops.mul(y, rest[0][:])
+        out_ref[:] = y
 
-    def call(x, tw):
+    def call(x, tw, mul=None):
         B = x.shape[nl]
         grid = (B // rows_pb,)
         blk = limb + (rows_pb, n)
         idx = (lambda i: (0, i, 0)) if nl else (lambda i: (i, 0))
         tw_blk = limb + (max(lg, 1), n)
         tw_idx = (lambda i: (0, 0, 0)) if nl else (lambda i: (0, 0))
+        in_specs = [
+            pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(tw_blk, tw_idx, memory_space=pltpu.VMEM),
+        ]
+        args = [x, tw]
+        if with_mul:
+            in_specs.append(pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM))
+            args.append(mul)
         return pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM),
-                pl.BlockSpec(tw_blk, tw_idx, memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        )(x, tw)
+        )(*args)
 
     return call
 
@@ -124,16 +161,17 @@ def _pick_rows(field_name: str, lg: int) -> int:
     return 8 * max(rows // 8, 1) if rows >= 8 else rows
 
 
-def _apply_rows(field_name: str, x, lg: int, table):
-    """Bit-reverse + fused stage kernel over a batch of rows (last axis)."""
+def _apply_rows(field_name: str, x, lg: int, table, mul=None):
+    """Fused bitrev + stage kernel over a batch of natural-order rows (last
+    axis), optionally post-multiplying `mul` (same shape as x) in-kernel."""
     F = get_jax_field(field_name)
-    xb = bit_reverse(x, lg)
     nl = 1 if F.n_limbs else 0
     B = x.shape[nl]
     rows_pb = min(_pick_rows(field_name, lg), B)
     while B % rows_pb:
         rows_pb -= 1
-    return _rows_kernel(field_name, lg, rows_pb)(xb, table)
+    fn = _rows_kernel(field_name, lg, rows_pb, with_mul=mul is not None)
+    return fn(x, table, mul)
 
 
 # ---------------------------------------------------------------------------
@@ -166,17 +204,29 @@ def _fused_core(field_name: str, x, lg: int, inverse: bool, tables):
     n = 1 << lg
     # x natural (.., n) -> (.., N1, N2) row-major
     a = x.reshape(x.shape[:-1] + (n1, n2))
-    # column NTTs: transpose so columns land on the last axis
+    # column NTTs: transpose so columns land on the last axis; the middle
+    # twiddle T[i2, k1] = w^(i2*k1) (pre-scaled by 1/N for the inverse) is
+    # applied inside the same kernel pass
     b = jnp.swapaxes(a, -1, -2)                           # (.., N2, N1)
-    b = _apply_rows(field_name, b, lg1, t1)
-    # four-step twiddle: precomputed T[i2, k1] = w^(i2*k1)
-    c = F.mul(b, tmid)
+    c = _apply_rows(field_name, b, lg1, t1, mul=tmid)
     # row NTTs of the original rows = last axis after transpose back
     d = jnp.swapaxes(c, -1, -2)                           # (.., N1=k1, N2=i2)
     e = _apply_rows(field_name, d, lg2, t2)               # D[k1, k2]
     # natural order: out[k1 + N1*k2] -> flatten D^T
-    out = jnp.swapaxes(e, -1, -2).reshape(x.shape[:-1] + (n,))
-    return _scaled(out)
+    return jnp.swapaxes(e, -1, -2).reshape(x.shape[:-1] + (n,))
+
+
+@functools.lru_cache(maxsize=None)
+def _scaled_mid(field_name: str, lg: int):
+    """Middle twiddle matrix with 1/N folded in — the inverse four-step's
+    per-element scale costs nothing extra this way (the reference folds 1/n
+    into the last stage, ct_mixed_radix_narrow.cu:156-162)."""
+    params = get_field(field_name)
+    F = get_jax_field(field_name)
+    pm = get_parameters(field_name)
+    tmid = pm.middle_twiddle_matrix(lg, True)
+    scale = F.const(params.domain_size_inverse(lg), batch_shape=(1, 1))
+    return jax.jit(F.mul)(tmid, scale)
 
 
 def _fused_tables(field_name: str, lg: int, inverse: bool):
@@ -186,7 +236,8 @@ def _fused_tables(field_name: str, lg: int, inverse: bool):
     lg1 = lg // 2
     return (pm.staged_full_table(lg1, inverse),
             pm.staged_full_table(lg - lg1, inverse),
-            pm.middle_twiddle_matrix(lg, inverse))
+            _scaled_mid(field_name, lg) if inverse
+            else pm.middle_twiddle_matrix(lg, False))
 
 
 @functools.lru_cache(maxsize=None)
