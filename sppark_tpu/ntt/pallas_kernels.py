@@ -43,6 +43,15 @@ from .parameters import get_parameters
 LG_TILE = 13
 
 
+def _interpret() -> bool:
+    """SPPARK_PALLAS_INTERPRET=1 runs the kernels through the Pallas
+    interpreter — the CPU-testable analogue of the reference's sanitizer
+    story (SURVEY §5: XLA removes the data-race surface; interpret-mode
+    runs validate kernel semantics on GPU-less CI)."""
+    import os
+    return os.environ.get("SPPARK_PALLAS_INTERPRET") == "1"
+
+
 class _RawOps:
     """Unwrapped (non-jitted) field ops — Pallas kernels trace the math
     inline; the per-instance jax.jit wrappers (ff/base.py:_finalize) cannot
@@ -147,6 +156,7 @@ def _rows_kernel(field_name: str, lg: int, rows_pb: int,
             in_specs=in_specs,
             out_specs=pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            interpret=_interpret(),
         )(*args)
 
     return call

@@ -1,0 +1,49 @@
+"""Fused Pallas NTT kernels under the Pallas interpreter (CPU-runnable).
+
+The reference gates kernels on GPU-less CI by compiling only (SURVEY §4);
+here the interpreter actually EXECUTES the Mosaic kernel semantics (roll
+butterflies, in-VMEM bit-reversal, fused middle-twiddle multiply) against
+the big-int oracle without a TPU."""
+
+import os
+import random
+
+import pytest
+
+os.environ.setdefault("SPPARK_FUSED", "1")
+os.environ.setdefault("SPPARK_PALLAS_INTERPRET", "1")
+
+from sppark_tpu import params
+from sppark_tpu.ff import get_jax_field
+from sppark_tpu.ntt.pallas_kernels import ntt_fused, LG_TILE
+from sppark_tpu.oracle import ntt as ontt
+
+FIELDS = [params.BABY_BEAR, params.GOLDILOCKS]
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _force_fused_interpret():
+    old = {k: os.environ.get(k) for k in
+           ("SPPARK_FUSED", "SPPARK_PALLAS_INTERPRET")}
+    os.environ["SPPARK_FUSED"] = "1"
+    os.environ["SPPARK_PALLAS_INTERPRET"] = "1"
+    yield
+    for k, v in old.items():
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
+
+
+@pytest.mark.parametrize("fp", FIELDS, ids=lambda f: f.name)
+@pytest.mark.parametrize("lg", [1, 2, 5, 9, LG_TILE + 1])
+def test_fused_vs_oracle(fp, lg, rng):
+    """Single-tile (lg <= LG_TILE) and four-step (lg > LG_TILE) paths."""
+    F = get_jax_field(fp)
+    n = 1 << lg
+    ints = [rng.randrange(fp.modulus) for _ in range(n)]
+    dev = F.from_int_list(ints)
+    assert F.to_int_list(ntt_fused(fp.name, dev, lg)) == \
+        ontt.ntt_natural(fp, ints)
+    assert F.to_int_list(ntt_fused(fp.name, dev, lg, inverse=True)) == \
+        ontt.intt_natural(fp, ints)
