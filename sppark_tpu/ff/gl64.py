@@ -151,6 +151,81 @@ class GoldilocksField(BaseField):
         lo, hi = self._sub_p(lo, hi)
         return jnp.stack([lo, hi])
 
+    # -- lazy (partially-reduced) ops ------------------------------------------
+    # The GL64_PARTIALLY_REDUCED mode of the reference (ff/gl64_t.cuh:23-37):
+    # representatives live anywhere in [0, 2^64) — congruence mod p is the
+    # only invariant — so the >= p compare-and-subtract disappears from every
+    # op inside a kernel; `canon()` restores canonical form once at the end.
+
+    @staticmethod
+    def _fold_add(lo, hi, c):
+        """Fold an add carry: value + c*2^64 == value + c*eps (mod p)."""
+        m = jnp.zeros_like(c) - c                 # c ? eps : 0
+        lo2 = lo + m
+        c2 = (lo2 < m).astype(_U32)
+        hi2 = hi + c2
+        c3 = ((hi2 < c2)).astype(_U32)            # wrapped past 2^64 again
+        return lo2, hi2, c3
+
+    @staticmethod
+    def _fold_sub(lo, hi, b):
+        """Fold a sub borrow: value - b*2^64 == value - b*eps (mod p)."""
+        m = jnp.zeros_like(b) - b                 # b ? eps : 0
+        lo2 = lo - m
+        bb = (lo < m).astype(_U32)
+        hi2 = hi - bb
+        b3 = ((hi < bb)).astype(_U32)             # wrapped below 0 again
+        return lo2, hi2, b3
+
+    def add_lazy(self, x, y):
+        lo, hi, c = _add64(x[0], x[1], y[0], y[1])
+        lo, hi, c = self._fold_add(lo, hi, c)
+        lo, hi, _ = self._fold_add(lo, hi, c)     # second fold: < 2^33 now
+        return jnp.stack([lo, hi])
+
+    def sub_lazy(self, x, y):
+        lo, hi, b = _sub64(x[0], x[1], y[0], y[1])
+        lo, hi, b = self._fold_sub(lo, hi, b)
+        lo, hi, _ = self._fold_sub(lo, hi, b)
+        return jnp.stack([lo, hi])
+
+    def mul_lazy(self, x, y):
+        # identical wide product; reduction keeps any (lo, hi) representative
+        xl, xh, yl, yh = x[0], x[1], y[0], y[1]
+        h_ll, l_ll = mul32_wide(xl, yl)
+        h_lh, l_lh = mul32_wide(xl, yh)
+        h_hl, l_hl = mul32_wide(xh, yl)
+        h_hh, l_hh = mul32_wide(xh, yh)
+        w0 = l_ll
+        w1 = h_ll + l_lh
+        c1 = (w1 < h_ll).astype(_U32)
+        w1b = w1 + l_hl
+        c1 = c1 + (w1b < w1).astype(_U32)
+        w1 = w1b
+        w2 = h_lh + h_hl
+        c2 = (w2 < h_lh).astype(_U32)
+        w2b = w2 + l_hh
+        c2 = c2 + (w2b < w2).astype(_U32)
+        w2c = w2b + c1
+        c2 = c2 + (w2c < w2b).astype(_U32)
+        w2 = w2c
+        w3 = h_hh + c2
+        # (w1:w0) - w3, single -eps fold suffices (w3 < 2^32, see _reduce_words)
+        lo, hi, b = _sub64(w0, w1, w3, jnp.zeros_like(w3))
+        lo, hi, _ = self._fold_sub(lo, hi, b)
+        # + w2*eps = (w2<<32) - w2
+        ulo = jnp.zeros_like(w2) - w2
+        uhi = w2 - (w2 != 0).astype(_U32)
+        lo, hi, c = _add64(lo, hi, ulo, uhi)
+        lo, hi, c = self._fold_add(lo, hi, c)
+        lo, hi, _ = self._fold_add(lo, hi, c)
+        return jnp.stack([lo, hi])
+
+    def canon(self, x):
+        """Reduce a lazy representative (< 2^64) to canonical [0, p)."""
+        lo, hi = self._sub_p(x[0], x[1])
+        return jnp.stack([lo, hi])
+
     # -- Montgomery stubs (gl64 is not Montgomery) -----------------------------
     def to_mont(self, x):
         return x

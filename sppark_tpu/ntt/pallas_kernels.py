@@ -55,7 +55,11 @@ def _interpret() -> bool:
 class _RawOps:
     """Unwrapped (non-jitted) field ops — Pallas kernels trace the math
     inline; the per-instance jax.jit wrappers (ff/base.py:_finalize) cannot
-    be called under a Pallas trace."""
+    be called under a Pallas trace.
+
+    Fields exposing lazy (partially-reduced) variants — gl64's
+    GL64_PARTIALLY_REDUCED analogue — get them used for every in-kernel op,
+    with one `canon()` at kernel exit."""
 
     def __init__(self, F):
         self.F = F
@@ -65,6 +69,11 @@ class _RawOps:
         self.mul = lambda a, b: cls.mul(F, a, b)
         self.select = lambda c, a, b: cls.select(F, c, a, b)
         self.n_limbs = F.n_limbs
+        lazy = hasattr(cls, "add_lazy")
+        self.addl = (lambda a, b: cls.add_lazy(F, a, b)) if lazy else self.add
+        self.subl = (lambda a, b: cls.sub_lazy(F, a, b)) if lazy else self.sub
+        self.mull = (lambda a, b: cls.mul_lazy(F, a, b)) if lazy else self.mul
+        self.canon = (lambda a: cls.canon(F, a)) if lazy else (lambda a: a)
 
 
 def _roll(x, shift: int):
@@ -94,22 +103,41 @@ def _bitrev_lanes(ops: _RawOps, x, lg: int):
     return x
 
 
+# butterfly stages with h >= _SPLIT_H use 128-aligned lane slices instead of
+# roll/select: the twiddle multiply then runs on HALF the lanes (the lo
+# half's product in the roll form is dead work) and the roll/select pair
+# disappears entirely.
+_SPLIT_H = 128
+
+
 def _stages_roll(ops: _RawOps, x, lg: int, table):
     """All lg CT stages along the last axis (bit-reversed input, natural
     output).  `table` = (.., lg, n) staged_full_table; everything stays in
-    VMEM with a fixed last-axis length."""
+    VMEM with a fixed last-axis length.  Arithmetic is lazy (partially
+    reduced) where the field supports it; output is canonical."""
     n = 1 << lg
     nl = 1 if ops.n_limbs else 0
     lane = jax.lax.broadcasted_iota(jnp.uint32, x.shape[nl:], x.ndim - nl - 1)
     for s in range(1, lg + 1):
         h = 1 << (s - 1)
         w = table[..., s - 1, :]                    # (.., n)
-        y = ops.mul(w, x)
-        lo_val = ops.add(x, _roll(y, -h))           # x[i] + w*x[i+h]
-        hi_val = ops.sub(_roll(x, h), y)            # x[i-h] - w*x[i]
-        is_lo = (lane & np.uint32(h)) == 0
-        x = ops.select(is_lo, lo_val, hi_val)
-    return x
+        if h >= _SPLIT_H and n // (2 * h) <= 16:
+            # sliced-half butterflies: block [a, a+2h) splits into lo/hi
+            pieces = []
+            for a in range(0, n, 2 * h):
+                lo = x[..., a:a + h]
+                hi = x[..., a + h:a + 2 * h]
+                t = ops.mull(w[..., a + h:a + 2 * h], hi)
+                pieces.append(ops.addl(lo, t))
+                pieces.append(ops.subl(lo, t))
+            x = jnp.concatenate(pieces, axis=-1)
+        else:
+            y = ops.mull(w, x)
+            lo_val = ops.addl(x, _roll(y, -h))      # x[i] + w*x[i+h]
+            hi_val = ops.subl(_roll(x, h), y)       # x[i-h] - w*x[i]
+            is_lo = (lane & np.uint32(h)) == 0
+            x = ops.select(is_lo, lo_val, hi_val)
+    return ops.canon(x)
 
 
 @functools.lru_cache(maxsize=None)
