@@ -76,21 +76,29 @@ class _RawOps:
         self.canon = (lambda a: cls.canon(F, a)) if lazy else (lambda a: a)
 
 
-def _roll(x, shift: int):
-    n = x.shape[-1]
-    return pltpu.roll(x, shift % n, axis=x.ndim - 1)
+def _roll(x, shift: int, axis: int = -1):
+    ax = x.ndim + axis if axis < 0 else axis
+    n = x.shape[ax]
+    return pltpu.roll(x, shift % n, axis=ax)
 
 
-def _bitrev_lanes(ops: _RawOps, x, lg: int):
-    """Bit-reverse permutation along the last axis, entirely in VMEM.
+def _slice_ax(x, a: int, b: int, axis: int):
+    idx = [slice(None)] * x.ndim
+    idx[x.ndim + axis if axis < 0 else axis] = slice(a, b)
+    return x[tuple(idx)]
+
+
+def _bitrev_axis(ops: _RawOps, x, lg: int, axis: int = -1):
+    """Bit-reverse permutation along `axis`, entirely in VMEM.
 
     The permutation factors into lg/2 independent mirrored-bit-pair swaps;
-    each swap moves elements by a fixed +/-d, so it is two static lane
-    rolls and selects — no gather, no extra HBM pass (the role of the
+    each swap moves elements by a fixed +/-d, so it is two static rolls
+    and selects — no gather, no extra HBM pass (the role of the
     bit_rev_permutation kernels, ntt/kernels.cu:16-129, done for free
     inside the butterfly kernel's tile)."""
     nl = 1 if ops.n_limbs else 0
-    lane = jax.lax.broadcasted_iota(jnp.uint32, x.shape[nl:], x.ndim - nl - 1)
+    dim = (x.ndim + axis) - nl
+    lane = jax.lax.broadcasted_iota(jnp.uint32, x.shape[nl:], dim)
     for k in range(lg // 2):
         lo, hi = k, lg - 1 - k
         d = (1 << hi) - (1 << lo)
@@ -98,43 +106,52 @@ def _bitrev_lanes(ops: _RawOps, x, lg: int):
         bhi = (lane >> np.uint32(hi)) & np.uint32(1)
         take_up = (blo == 1) & (bhi == 0)     # comes from index i + d
         take_dn = (blo == 0) & (bhi == 1)     # comes from index i - d
-        x = ops.select(take_up, _roll(x, -d),
-                       ops.select(take_dn, _roll(x, d), x))
+        x = ops.select(take_up, _roll(x, -d, axis),
+                       ops.select(take_dn, _roll(x, d, axis), x))
     return x
 
 
-# butterfly stages with h >= _SPLIT_H use 128-aligned lane slices instead of
-# roll/select: the twiddle multiply then runs on HALF the lanes (the lo
-# half's product in the roll form is dead work) and the roll/select pair
-# disappears entirely.
-_SPLIT_H = 128
+# butterfly stages with half-block size >= the axis granule (128 lanes /
+# 8 sublanes) use aligned slices instead of roll/select: the twiddle
+# multiply then runs on HALF the elements (the lo half's product in the
+# roll form is dead work) and the roll/select pair disappears.
+_SPLIT_GRANULE = {-1: 128, -2: 8}
+_SPLIT_MAX_BLOCKS = 16
 
 
-def _stages_roll(ops: _RawOps, x, lg: int, table):
-    """All lg CT stages along the last axis (bit-reversed input, natural
-    output).  `table` = (.., lg, n) staged_full_table; everything stays in
-    VMEM with a fixed last-axis length.  Arithmetic is lazy (partially
-    reduced) where the field supports it; output is canonical."""
+def _stages_roll(ops: _RawOps, x, lg: int, table, axis: int = -1):
+    """All lg CT stages along `axis` (bit-reversed input, natural output).
+
+    `table` = (.., lg, n) staged_full_table; everything stays in VMEM with
+    fixed shapes.  Arithmetic is lazy (partially reduced) where the field
+    supports it; output is canonical."""
     n = 1 << lg
     nl = 1 if ops.n_limbs else 0
-    lane = jax.lax.broadcasted_iota(jnp.uint32, x.shape[nl:], x.ndim - nl - 1)
+    dim = (x.ndim + axis) - nl
+    lane = jax.lax.broadcasted_iota(jnp.uint32, x.shape[nl:], dim)
+    granule = _SPLIT_GRANULE.get(axis, 128)
+
+    def wslice(w, a, b):
+        return w[..., a:b] if axis == -1 else w[..., a:b, None]
+
     for s in range(1, lg + 1):
         h = 1 << (s - 1)
         w = table[..., s - 1, :]                    # (.., n)
-        if h >= _SPLIT_H and n // (2 * h) <= 16:
+        if h >= granule and n // (2 * h) <= _SPLIT_MAX_BLOCKS:
             # sliced-half butterflies: block [a, a+2h) splits into lo/hi
             pieces = []
             for a in range(0, n, 2 * h):
-                lo = x[..., a:a + h]
-                hi = x[..., a + h:a + 2 * h]
-                t = ops.mull(w[..., a + h:a + 2 * h], hi)
+                lo = _slice_ax(x, a, a + h, axis)
+                hi = _slice_ax(x, a + h, a + 2 * h, axis)
+                t = ops.mull(wslice(w, a + h, a + 2 * h), hi)
                 pieces.append(ops.addl(lo, t))
                 pieces.append(ops.subl(lo, t))
-            x = jnp.concatenate(pieces, axis=-1)
+            x = jnp.concatenate(pieces, axis=axis)
         else:
-            y = ops.mull(w, x)
-            lo_val = ops.addl(x, _roll(y, -h))      # x[i] + w*x[i+h]
-            hi_val = ops.subl(_roll(x, h), y)       # x[i-h] - w*x[i]
+            wb = w if axis == -1 else w[..., None]
+            y = ops.mull(wb, x)
+            lo_val = ops.addl(x, _roll(y, -h, axis))  # x[i] + w*x[i+h]
+            hi_val = ops.subl(_roll(x, h, axis), y)   # x[i-h] - w*x[i]
             is_lo = (lane & np.uint32(h)) == 0
             x = ops.select(is_lo, lo_val, hi_val)
     return ops.canon(x)
@@ -142,13 +159,13 @@ def _stages_roll(ops: _RawOps, x, lg: int, table):
 
 @functools.lru_cache(maxsize=None)
 def _rows_kernel(field_name: str, lg: int, rows_pb: int,
-                 with_mul: bool = False):
+                 with_mul: bool = False, out_t: bool = False):
     """pallas_call: batched independent NTTs along the last axis.
     Input (.., B, n) NATURAL-order rows (bit-reversal happens in VMEM);
     output natural order.  With `with_mul`, a per-row multiplier block of
-    the same (.., B, n) layout is applied to the OUTPUT — this fuses the
-    four-step middle twiddle multiply into the column-NTT kernel so it
-    costs no separate HBM pass."""
+    the same (.., B, n) layout is applied to the OUTPUT.  With `out_t`,
+    each result tile is transposed in VMEM and written to a (.., n, B)
+    output — the four-step's final transpose for free."""
     F = get_jax_field(field_name)
     ops = _RawOps(F)
     nl = 1 if F.n_limbs else 0
@@ -157,17 +174,74 @@ def _rows_kernel(field_name: str, lg: int, rows_pb: int,
 
     def kernel(x_ref, tw_ref, *rest):
         out_ref = rest[-1]
-        x = _bitrev_lanes(ops, x_ref[:], lg)
+        x = _bitrev_axis(ops, x_ref[:], lg)
         y = _stages_roll(ops, x, lg, tw_ref[:])
         if with_mul:
             y = ops.mul(y, rest[0][:])
-        out_ref[:] = y
+        out_ref[:] = jnp.swapaxes(y, -1, -2) if out_t else y
 
     def call(x, tw, mul=None):
         B = x.shape[nl]
         grid = (B // rows_pb,)
         blk = limb + (rows_pb, n)
         idx = (lambda i: (0, i, 0)) if nl else (lambda i: (i, 0))
+        tw_blk = limb + (max(lg, 1), n)
+        tw_idx = (lambda i: (0, 0, 0)) if nl else (lambda i: (0, 0))
+        in_specs = [
+            pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(tw_blk, tw_idx, memory_space=pltpu.VMEM),
+        ]
+        args = [x, tw]
+        if with_mul:
+            in_specs.append(pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM))
+            args.append(mul)
+        if out_t:
+            out_blk = limb + (n, rows_pb)
+            out_idx = (lambda i: (0, 0, i)) if nl else (lambda i: (0, i))
+            out_shape = x.shape[:nl] + (n, B)
+        else:
+            out_blk, out_idx, out_shape = blk, idx, x.shape
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(out_blk, out_idx, memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
+            interpret=_interpret(),
+        )(*args)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def _cols_kernel(field_name: str, lg: int, cols_pb: int,
+                 with_mul: bool = False):
+    """pallas_call: batched independent NTTs along axis -2 (columns).
+
+    Input (.., n, M): every lane column is an independent length-n NTT in
+    natural order; butterflies roll/slice across SUBLANES, so the kernel
+    reads and writes plain contiguous blocks — the four-step's first
+    transpose disappears into the layout.  `with_mul` applies a same-shape
+    multiplier (the middle twiddle matrix) to the output in-kernel."""
+    F = get_jax_field(field_name)
+    ops = _RawOps(F)
+    nl = 1 if F.n_limbs else 0
+    n = 1 << lg
+    limb = (F.n_limbs,) if nl else ()
+
+    def kernel(x_ref, tw_ref, *rest):
+        out_ref = rest[-1]
+        x = _bitrev_axis(ops, x_ref[:], lg, axis=-2)
+        y = _stages_roll(ops, x, lg, tw_ref[:], axis=-2)
+        if with_mul:
+            y = ops.mul(y, rest[0][:])
+        out_ref[:] = y
+
+    def call(x, tw, mul=None):
+        M = x.shape[-1]
+        grid = (M // cols_pb,)
+        blk = limb + (n, cols_pb)
+        idx = (lambda i: (0, 0, i)) if nl else (lambda i: (0, i))
         tw_blk = limb + (max(lg, 1), n)
         tw_idx = (lambda i: (0, 0, 0)) if nl else (lambda i: (0, 0))
         in_specs = [
@@ -199,16 +273,32 @@ def _pick_rows(field_name: str, lg: int) -> int:
     return 8 * max(rows // 8, 1) if rows >= 8 else rows
 
 
-def _apply_rows(field_name: str, x, lg: int, table, mul=None):
+def _apply_rows(field_name: str, x, lg: int, table, mul=None,
+                out_t: bool = False):
     """Fused bitrev + stage kernel over a batch of natural-order rows (last
-    axis), optionally post-multiplying `mul` (same shape as x) in-kernel."""
+    axis), optionally post-multiplying `mul` (same shape as x) in-kernel
+    and/or writing the output transposed (out_t)."""
     F = get_jax_field(field_name)
     nl = 1 if F.n_limbs else 0
     B = x.shape[nl]
     rows_pb = min(_pick_rows(field_name, lg), B)
     while B % rows_pb:
         rows_pb -= 1
-    fn = _rows_kernel(field_name, lg, rows_pb, with_mul=mul is not None)
+    fn = _rows_kernel(field_name, lg, rows_pb, with_mul=mul is not None,
+                      out_t=out_t)
+    return fn(x, table, mul)
+
+
+def _apply_cols(field_name: str, x, lg: int, table, mul=None):
+    """Column NTTs (axis -2) over (.., n, M) in ~2 MiB lane-group blocks."""
+    F = get_jax_field(field_name)
+    M = x.shape[-1]
+    planes = max(F.n_limbs, 1)
+    col_bytes = (1 << lg) * 4 * planes
+    cols_pb = min(128, M, max(1, (1 << 21) // col_bytes))
+    while M % cols_pb:
+        cols_pb -= 1
+    fn = _cols_kernel(field_name, lg, cols_pb, with_mul=mul is not None)
     return fn(x, table, mul)
 
 
@@ -236,22 +326,30 @@ def _fused_core(field_name: str, x, lg: int, inverse: bool, tables):
         return _scaled(out.reshape(x.shape))
 
     t1, t2, tmid = tables
-    lg1 = lg // 2
+    lg1 = _split_lg1(lg)
     lg2 = lg - lg1
     n1, n2 = 1 << lg1, 1 << lg2
     n = 1 << lg
-    # x natural (.., n) -> (.., N1, N2) row-major
+    # Two HBM passes, zero standalone transposes (the reference needs 2-4
+    # kernel steps plus bit-rev passes, ntt/ntt.cuh:100-158):
+    #   A: column NTTs along axis -2 (sublane butterflies) produce
+    #      B[k1, i2] in place, middle twiddle T[k1, i2] = w^(k1*i2)
+    #      (1/N-scaled for the inverse) multiplied in-kernel;
+    #   B: row NTTs along lanes produce D[k1, k2], each tile transposed in
+    #      VMEM on write, so the flat result is already X[k1 + N1*k2].
     a = x.reshape(x.shape[:-1] + (n1, n2))
-    # column NTTs: transpose so columns land on the last axis; the middle
-    # twiddle T[i2, k1] = w^(i2*k1) (pre-scaled by 1/N for the inverse) is
-    # applied inside the same kernel pass
-    b = jnp.swapaxes(a, -1, -2)                           # (.., N2, N1)
-    c = _apply_rows(field_name, b, lg1, t1, mul=tmid)
-    # row NTTs of the original rows = last axis after transpose back
-    d = jnp.swapaxes(c, -1, -2)                           # (.., N1=k1, N2=i2)
-    e = _apply_rows(field_name, d, lg2, t2)               # D[k1, k2]
-    # natural order: out[k1 + N1*k2] -> flatten D^T
-    return jnp.swapaxes(e, -1, -2).reshape(x.shape[:-1] + (n,))
+    c = _apply_cols(field_name, a, lg1, t1, mul=tmid)     # (.., k1, i2)
+    outt = _apply_rows(field_name, c, lg2, t2, out_t=True)  # (.., k2, k1)
+    return outt.reshape(x.shape[:-1] + (n,))
+
+
+def _split_lg1(lg: int) -> int:
+    """Four-step split: column length capped at 2^11 (column blocks stay
+    ~2 MiB in VMEM at full 128-lane width), row length at 2^LG_TILE."""
+    lg1 = lg // 2
+    if lg1 > 11:
+        lg1 = lg - LG_TILE
+    return lg1
 
 
 @functools.lru_cache(maxsize=None)
@@ -271,7 +369,7 @@ def _fused_tables(field_name: str, lg: int, inverse: bool):
     pm = get_parameters(field_name)
     if lg <= LG_TILE:
         return (pm.staged_full_table(lg, inverse),)
-    lg1 = lg // 2
+    lg1 = _split_lg1(lg)
     return (pm.staged_full_table(lg1, inverse),
             pm.staged_full_table(lg - lg1, inverse),
             _scaled_mid(field_name, lg) if inverse

@@ -114,29 +114,34 @@ class NTTParameters:
                 jnp.take(top, jnp.asarray(idx), axis=-1))
         return self._power_tables[key]
 
-    def middle_twiddle_matrix(self, lg_domain: int, inverse: bool):
-        """Cached (.., N2, N1) four-step twiddle matrix T[i2, k1] =
-        w^(i2*k1) for N1 = 2^(lg/2), N2 = 2^(lg-lg/2).
+    def middle_twiddle_matrix(self, lg_domain: int, inverse: bool,
+                              lg1: int = 0):
+        """Cached (.., N1, N2) four-step twiddle matrix T[k1, i2] =
+        w^(k1*i2) for N1 = 2^lg1, N2 = 2^(lg-lg1) (lg1 defaults to the
+        fused kernels' split; the layout matches the column-kernel output
+        B[k1, i2] so the multiply fuses into that pass).
 
-        Built gather-free by exponent doubling: with P_m[k1] = w^(m*k1),
-        T rows [m, 2m) = T rows [0, m) * P_m and P_2m = P_m^2 — lg(N2)
+        Built gather-free by exponent doubling: with P_m[i2] = w^(m*i2),
+        T rows [m, 2m) = T rows [0, m) * P_m and P_2m = P_m^2 — lg(N1)
         elementwise doubling steps, ~one field mul per matrix element
         total (a row gather at 2^24 took minutes through XLA's gather
         path; this builds in milliseconds)."""
-        key = ("mid", inverse, lg_domain)
+        if not lg1:
+            from .pallas_kernels import _split_lg1
+            lg1 = _split_lg1(lg_domain)
+        key = ("mid", inverse, lg_domain, lg1)
         if key not in self._power_tables:
             root = (self.params.inv_root_of_unity(lg_domain) if inverse
                     else self.params.root_of_unity(lg_domain))
-            lg1 = lg_domain // 2
-            n1, lg2 = 1 << lg1, lg_domain - lg1
+            n2 = 1 << (lg_domain - lg1)
             F = self.F
-            # only w^[0, n1) is needed — NOT the full 2^(lg-1) power table
-            base = powers_of(F, root, n1)
+            # only w^[0, n2) is needed — NOT the full 2^(lg-1) power table
+            base = powers_of(F, root, n2)
 
             def build(tf):
-                T = F.ones((1, n1))                    # row i2 = 0
-                P = tf[..., None, :]                   # w^k1 as (.., 1, n1)
-                for _ in range(lg2):
+                T = F.ones((1, n2))                    # row k1 = 0
+                P = tf[..., None, :]                   # w^i2 as (.., 1, n2)
+                for _ in range(lg1):
                     T = jnp.concatenate([T, F.mul(T, P)], axis=-2)
                     P = F.sqr(P)
                 return T
