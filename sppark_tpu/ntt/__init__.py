@@ -223,8 +223,54 @@ def lde(field, inout: np.ndarray, lg_domain: int, lg_blowup: int) -> np.ndarray:
                                 lg_blowup))
 
 
+@functools.lru_cache(maxsize=None)
+def _compiled_lde_powers(field_name: str, lg: int, bitrev: bool):
+    F = get_jax_field(get_field(field_name))
+
+    def run(x, shift):
+        if bitrev:
+            shift = bit_reverse(shift, lg)
+        return F.mul(x, shift)
+
+    return jax.jit(run)
+
+
+def lde_powers_dev(field, x, lg_domain: int, bitrev: bool = True):
+    """In-place-style coset-power multiply: x[i] * g^bitrev(i) (NTT::
+    LDE_powers, ntt/ntt.cuh:352-356; kernel kernels.cu:131-153's
+    distribute_powers with the bit_rev indexing of
+    LDE_spread_distribute_powers:195-199)."""
+    name = _field_name(field)
+    pm = get_parameters(name)
+    return _compiled_lde_powers(name, lg_domain, bitrev)(
+        x, pm.coset_powers(lg_domain, False))
+
+
+@functools.lru_cache(maxsize=None)
+def _compiled_lde_expand(field_name: str, lg: int, lg_blowup: int):
+    F = get_jax_field(get_field(field_name))
+    n, blowup = 1 << lg, 1 << lg_blowup
+
+    def run(x):
+        # bit-reversed-layout spread: value at idx lands at idx << blowup,
+        # zeros between (LDE_spread_distribute_powers with
+        # perform_shift=false, ntt/kernels.cu:155-237)
+        col = x[..., None]
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, 0), (0, blowup - 1)]
+        return jnp.pad(col, pad).reshape(x.shape[:-1] + (n * blowup,))
+
+    return jax.jit(run)
+
+
+def lde_expand_dev(field, x, lg_domain: int, lg_blowup: int):
+    """Spread bit-reversed coefficients into the blown-up bit-reversed
+    domain without the coset shift (NTT::LDE_expand, ntt/ntt.cuh:361-366)."""
+    return _compiled_lde_expand(_field_name(field), lg_domain, lg_blowup)(x)
+
+
 __all__ = [
     "InputOutputOrder", "Direction", "Type",
     "base", "base_dev", "ntt", "intt", "coset_ntt", "coset_intt",
-    "lde", "lde_dev", "lde_aux_dev", "bit_reverse", "bitrev_indices",
+    "lde", "lde_dev", "lde_aux_dev", "lde_powers_dev", "lde_expand_dev",
+    "bit_reverse", "bitrev_indices",
 ]

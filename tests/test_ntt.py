@@ -99,6 +99,32 @@ def test_lde(fp, rng):
     assert F.to_int_list(aux) == ontt.intt_natural(fp, ints)
 
 
+@pytest.mark.parametrize("fp", SMALL, ids=lambda f: f.name)
+def test_lde_powers_expand(fp, rng):
+    """LDE_powers + LDE_expand building blocks (ntt/ntt.cuh:352-366)
+    composed into the full LDE: iNTT(NR) -> LDE_powers(ext domain, bitrev)
+    -> LDE_expand -> NTT(RN) must equal lde()."""
+    F = get_jax_field(fp)
+    lg, lg_blowup = 4, 2
+    n = 1 << lg
+    ints, dev = rand_wire(F, fp, rng, n)
+    # coefficients in bit-reversed order, no bit-reversal pass (NR)
+    coeffs_br = tntt.base_dev(fp.name, dev, lg,
+                              order=tntt.InputOutputOrder.NR,
+                              direction=tntt.Direction.inverse)
+    ext_br = tntt.lde_expand_dev(fp.name, coeffs_br, lg, lg_blowup)
+    # coset shift in the extended (bit-reversed) domain
+    ext_br = tntt.lde_powers_dev(fp.name, ext_br, lg + lg_blowup)
+    out = tntt.base_dev(fp.name, ext_br, lg + lg_blowup,
+                        order=tntt.InputOutputOrder.RN)
+    assert F.to_int_list(out) == ontt.lde(fp, ints, lg_blowup)
+    # lde_powers natural indexing multiplies by g^i
+    g = fp.generator
+    one = tntt.lde_powers_dev(fp.name, F.from_int_list([1] * n), lg,
+                              bitrev=False)
+    assert F.to_int_list(one) == [pow(g, i, fp.modulus) for i in range(n)]
+
+
 def test_wire_roundtrip_goldilocks(rng):
     """NTT through the host wire API (NTT::Base analogue) on u64 data."""
     fp = params.GOLDILOCKS
