@@ -42,6 +42,15 @@ from .parameters import get_parameters
 # max lg(row length) handled by a single kernel pass
 LG_TILE = 13
 
+# Mosaic's default scoped-vmem limit (16 MiB) undercounts what the
+# butterfly kernels' live temporaries need at large tiles; v5e+ chips have
+# headroom above it, so ask for more when the block sizes warrant it.
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
 
 def _interpret() -> bool:
     """SPPARK_PALLAS_INTERPRET=1 runs the kernels through the Pallas
@@ -132,7 +141,11 @@ def _stages_roll(ops: _RawOps, x, lg: int, table, axis: int = -1):
     granule = _SPLIT_GRANULE.get(axis, 128)
 
     def wslice(w, a, b):
-        return w[..., a:b] if axis == -1 else w[..., a:b, None]
+        # NB: keep the slice and the new axis as separate ops — a mixed
+        # `w[..., a:b, None]` index makes JAX emit a gather, which Mosaic
+        # cannot lower (plain slices + expand_dims both lower fine).
+        s = w[..., a:b]
+        return s if axis == -1 else jnp.expand_dims(s, -1)
 
     for s in range(1, lg + 1):
         h = 1 << (s - 1)
@@ -148,7 +161,7 @@ def _stages_roll(ops: _RawOps, x, lg: int, table, axis: int = -1):
                 pieces.append(ops.subl(lo, t))
             x = jnp.concatenate(pieces, axis=axis)
         else:
-            wb = w if axis == -1 else w[..., None]
+            wb = w if axis == -1 else jnp.expand_dims(w, -1)
             y = ops.mull(wb, x)
             lo_val = ops.addl(x, _roll(y, -h, axis))  # x[i] + w*x[i+h]
             hi_val = ops.subl(_roll(x, h, axis), y)   # x[i-h] - w*x[i]
@@ -208,6 +221,7 @@ def _rows_kernel(field_name: str, lg: int, rows_pb: int,
             out_specs=pl.BlockSpec(out_blk, out_idx, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
             interpret=_interpret(),
+            compiler_params=_compiler_params(),
         )(*args)
 
     return call
@@ -259,6 +273,7 @@ def _cols_kernel(field_name: str, lg: int, cols_pb: int,
             out_specs=pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
             interpret=_interpret(),
+            compiler_params=_compiler_params(),
         )(*args)
 
     return call
@@ -277,13 +292,29 @@ def _apply_rows(field_name: str, x, lg: int, table, mul=None,
                 out_t: bool = False):
     """Fused bitrev + stage kernel over a batch of natural-order rows (last
     axis), optionally post-multiplying `mul` (same shape as x) in-kernel
-    and/or writing the output transposed (out_t)."""
+    and/or writing the output transposed (out_t).
+
+    When out_t, the OUTPUT block's lane dimension is rows_pb, and Mosaic
+    requires the last block dim be a multiple of 128 (or the full axis) —
+    so rows_pb is bumped to 128 when the (in+out) blocks still fit VMEM,
+    and otherwise the transpose falls back to a separate XLA pass."""
     F = get_jax_field(field_name)
     nl = 1 if F.n_limbs else 0
     B = x.shape[nl]
     rows_pb = min(_pick_rows(field_name, lg), B)
     while B % rows_pb:
         rows_pb -= 1
+    if out_t and rows_pb != B and rows_pb % 128:
+        planes = max(F.n_limbs, 1)
+        blk_bytes = 128 * (1 << lg) * 4 * planes
+        if B % 128 == 0 and blk_bytes <= (2 << 20):
+            rows_pb = 128
+        else:
+            # tile too large to transpose in VMEM at 128-lane width:
+            # write natural and transpose in XLA (one extra HBM pass)
+            fn = _rows_kernel(field_name, lg, rows_pb,
+                              with_mul=mul is not None, out_t=False)
+            return jnp.swapaxes(fn(x, table, mul), -1, -2)
     fn = _rows_kernel(field_name, lg, rows_pb, with_mul=mul is not None,
                       out_t=out_t)
     return fn(x, table, mul)
