@@ -172,13 +172,20 @@ def _stages_roll(ops: _RawOps, x, lg: int, table, axis: int = -1):
 
 @functools.lru_cache(maxsize=None)
 def _rows_kernel(field_name: str, lg: int, rows_pb: int,
-                 with_mul: bool = False, out_t: bool = False):
+                 with_mul: bool = False, out_t: bool = False,
+                 in_rev: bool = True, out_rev: bool = False):
     """pallas_call: batched independent NTTs along the last axis.
     Input (.., B, n) NATURAL-order rows (bit-reversal happens in VMEM);
     output natural order.  With `with_mul`, a per-row multiplier block of
     the same (.., B, n) layout is applied to the OUTPUT.  With `out_t`,
     each result tile is transposed in VMEM and written to a (.., n, B)
-    output — the four-step's final transpose for free."""
+    output — the four-step's final transpose for free.
+
+    `in_rev=False` skips the input bit-reversal (rows arrive already
+    bit-reversed — the R* input orders); `out_rev=True` bit-reverses the
+    result in VMEM (the *R output orders).  Together these give all four
+    NN/NR/RN/RR orders without any standalone permutation pass — the role
+    of the reference's CT-vs-GS kernel selection (ntt/ntt.cuh:161-213)."""
     F = get_jax_field(field_name)
     ops = _RawOps(F)
     nl = 1 if F.n_limbs else 0
@@ -187,8 +194,12 @@ def _rows_kernel(field_name: str, lg: int, rows_pb: int,
 
     def kernel(x_ref, tw_ref, *rest):
         out_ref = rest[-1]
-        x = _bitrev_axis(ops, x_ref[:], lg)
+        x = x_ref[:]
+        if in_rev:
+            x = _bitrev_axis(ops, x, lg)
         y = _stages_roll(ops, x, lg, tw_ref[:])
+        if out_rev:
+            y = _bitrev_axis(ops, y, lg)
         if with_mul:
             y = ops.mul(y, rest[0][:])
         out_ref[:] = jnp.swapaxes(y, -1, -2) if out_t else y
@@ -289,7 +300,8 @@ def _pick_rows(field_name: str, lg: int) -> int:
 
 
 def _apply_rows(field_name: str, x, lg: int, table, mul=None,
-                out_t: bool = False):
+                out_t: bool = False, in_rev: bool = True,
+                out_rev: bool = False):
     """Fused bitrev + stage kernel over a batch of natural-order rows (last
     axis), optionally post-multiplying `mul` (same shape as x) in-kernel
     and/or writing the output transposed (out_t).
@@ -313,10 +325,11 @@ def _apply_rows(field_name: str, x, lg: int, table, mul=None,
             # tile too large to transpose in VMEM at 128-lane width:
             # write natural and transpose in XLA (one extra HBM pass)
             fn = _rows_kernel(field_name, lg, rows_pb,
-                              with_mul=mul is not None, out_t=False)
+                              with_mul=mul is not None, out_t=False,
+                              in_rev=in_rev, out_rev=out_rev)
             return jnp.swapaxes(fn(x, table, mul), -1, -2)
     fn = _rows_kernel(field_name, lg, rows_pb, with_mul=mul is not None,
-                      out_t=out_t)
+                      out_t=out_t, in_rev=in_rev, out_rev=out_rev)
     return fn(x, table, mul)
 
 
@@ -337,10 +350,15 @@ def _apply_cols(field_name: str, x, lg: int, table, mul=None):
 # single-chip large-domain NTT: four-step with fused row kernels
 # ---------------------------------------------------------------------------
 
-def _fused_core(field_name: str, x, lg: int, inverse: bool, tables):
+def _fused_core(field_name: str, x, lg: int, inverse: bool, tables,
+                in_rev: bool = True, out_rev: bool = False):
     """Natural-in natural-out NTT body (traced inside some jit).  `tables`
     is (staged_full,) for lg <= LG_TILE or (staged_full(lg1),
-    staged_full(lg2), middle_twiddle_matrix) for the four-step split."""
+    staged_full(lg2), middle_twiddle_matrix) for the four-step split.
+
+    For lg <= LG_TILE, `in_rev=False` accepts bit-reversed input and
+    `out_rev=True` produces bit-reversed output, both free in VMEM (R*
+    orders without a permutation pass)."""
     params = get_field(field_name)
     F = get_jax_field(field_name)
     scale_int = params.domain_size_inverse(lg) if inverse else None
@@ -353,8 +371,11 @@ def _fused_core(field_name: str, x, lg: int, inverse: bool, tables):
     if lg <= LG_TILE:
         (table,) = tables
         xr = x.reshape(x.shape[:-1] + (1, 1 << lg))
-        out = _apply_rows(field_name, xr, lg, table)
+        out = _apply_rows(field_name, xr, lg, table, in_rev=in_rev,
+                          out_rev=out_rev)
         return _scaled(out.reshape(x.shape))
+    assert in_rev and not out_rev, \
+        "R orders above LG_TILE use standalone bit_reverse passes"
 
     t1, t2, tmid = tables
     lg1 = _split_lg1(lg)
@@ -424,20 +445,39 @@ def ntt_fused(field, x, lg: int, inverse: bool = False):
 def fused_facade_fn(field_name: str, lg: int, order: str, inverse: bool,
                     coset: bool):
     """Full facade semantics (NN/NR/RN/RR orders, coset pre/post shift) on
-    the fused path.  R orders cost one extra full-domain bit-reverse gather
-    (~7% of the NTT at 2^24) — the reference's CT/GS switcheroo that avoids
-    it entirely (ntt/ntt.cuh:161-213) is a later optimization."""
+    the fused path.
+
+    For lg <= LG_TILE the R orders are free: the kernel skips its in-VMEM
+    input bit-reversal (R input) or adds an output one (R output) — the
+    role of the reference's CT/GS kernel selection that avoids standalone
+    permutation passes entirely (ntt/ntt.cuh:161-213).  Above LG_TILE the
+    four-step path keeps natural-order dataflow and R orders cost one
+    bit-reverse gather pass (~7% of the NTT at 2^24).
+
+    Coset shift tables arrive already layout-matched from base_dev
+    (bit-reversed when they multiply a bit-reversed-layout array)."""
     F = get_jax_field(field_name)
+    single = lg <= LG_TILE
+    in_r = order[0] == "R"
+    out_r = order[1] == "R"
 
     def run(x, tables, shift):
         if coset and not inverse:
+            # shift is bitrev'd by the caller when the input layout is R
             x = F.mul(x, shift)
-        if order[0] == "R":
+        if single:
+            y = _fused_core(field_name, x, lg, inverse, tables,
+                            in_rev=not in_r, out_rev=out_r)
+            if coset and inverse:
+                # shift is bitrev'd by the caller when the output layout is R
+                y = F.mul(y, shift)
+            return y
+        if in_r:
             x = bit_reverse(x, lg)
         y = _fused_core(field_name, x, lg, inverse, tables)
         if coset and inverse:
             y = F.mul(y, shift)
-        if order[1] == "R":
+        if out_r:
             y = bit_reverse(y, lg)
         return y
 
@@ -449,9 +489,11 @@ def use_fused(field_name: str, lg: int) -> bool:
     mont32 family) on TPU backends; wide (multi-limb Montgomery) fields and
     CPU runs go through the generic XLA stages.  SPPARK_FUSED=0/1 forces."""
     import os
+    F = get_jax_field(field_name)
+    narrow = F.n_limbs <= 2 and lg >= 1
     forced = os.environ.get("SPPARK_FUSED")
     if forced is not None:
-        return bool(int(forced))
-    F = get_jax_field(field_name)
-    return (F.n_limbs <= 2 and lg >= 1
-            and jax.default_backend() not in ("cpu",))
+        # forcing can only toggle eligible (narrow) fields — the kernels
+        # have no multi-limb Montgomery path
+        return bool(int(forced)) and narrow
+    return narrow and jax.default_backend() not in ("cpu",)

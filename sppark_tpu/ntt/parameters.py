@@ -152,16 +152,28 @@ class NTTParameters:
     def domain_size_inverse(self, lg_domain: int):
         return self.params.domain_size_inverse(lg_domain)
 
-    def coset_powers(self, lg_domain: int, inverse: bool):
+    def coset_powers(self, lg_domain: int, inverse: bool,
+                     bitrev: bool = False):
         """[g^0, g^1, ... g^(N-1)] (or g^-i) for the LDE coset shift
-        (partial_group_gen_powers, parameters.cuh:241-282)."""
-        key = (inverse, lg_domain)
+        (partial_group_gen_powers, parameters.cuh:241-282).
+
+        `bitrev=True` returns the table in bit-reversed layout — the shift
+        for an array whose domain axis is itself in R order (the bitrev
+        flag of LDE_powers, ntt/ntt.cuh:196-209, kernels.cu:195-199)."""
+        key = (inverse, lg_domain, bitrev)
         if key not in self._coset_tables:
-            g = self.params.generator
-            if inverse:
-                g = pow(g, self.params.modulus - 2, self.params.modulus)
-            self._coset_tables[key] = jax.device_put(
-                powers_of(self.F, g, 1 << lg_domain))
+            if bitrev:
+                from .core import bit_reverse
+                nat = self.coset_powers(lg_domain, inverse, bitrev=False)
+                self._coset_tables[key] = jax.device_put(
+                    jax.jit(functools.partial(bit_reverse,
+                                              lg_n=lg_domain))(nat))
+            else:
+                g = self.params.generator
+                if inverse:
+                    g = pow(g, self.params.modulus - 2, self.params.modulus)
+                self._coset_tables[key] = jax.device_put(
+                    powers_of(self.F, g, 1 << lg_domain))
         return self._coset_tables[key]
 
 

@@ -88,6 +88,33 @@ def test_coset(fp, rng):
 
 
 @pytest.mark.parametrize("fp", SMALL, ids=lambda f: f.name)
+def test_coset_orders(fp, rng):
+    """Coset NTT/iNTT honoring every InputOutputOrder: the coset shift must
+    be applied in the NATURAL index domain regardless of the array layout
+    (the bitrev flag threaded to LDE_powers, ntt/ntt.cuh:196-209)."""
+    F = get_jax_field(fp)
+    lg = 6
+    ints, dev = rand_wire(F, fp, rng, 1 << lg)
+    exp_fwd = ontt.coset_ntt(fp, ints)
+    exp_inv = ontt.coset_intt(fp, ints)
+    for order in tntt.InputOutputOrder:
+        xin = (ontt.bit_reverse(ints, lg) if order.value[0] == "R"
+               else ints)
+        got = F.to_int_list(tntt.base_dev(
+            fp.name, F.from_int_list(xin), lg, order=order,
+            ntt_type=tntt.Type.coset))
+        exp = (ontt.bit_reverse(exp_fwd, lg) if order.value[1] == "R"
+               else exp_fwd)
+        assert got == exp, ("fwd", order)
+        gi = F.to_int_list(tntt.base_dev(
+            fp.name, F.from_int_list(xin), lg, order=order,
+            direction=tntt.Direction.inverse, ntt_type=tntt.Type.coset))
+        expi = (ontt.bit_reverse(exp_inv, lg) if order.value[1] == "R"
+                else exp_inv)
+        assert gi == expi, ("inv", order)
+
+
+@pytest.mark.parametrize("fp", SMALL, ids=lambda f: f.name)
 def test_lde(fp, rng):
     F = get_jax_field(fp)
     lg, lg_blowup = 4, 2

@@ -10,9 +10,6 @@ import random
 
 import pytest
 
-os.environ.setdefault("SPPARK_FUSED", "1")
-os.environ.setdefault("SPPARK_PALLAS_INTERPRET", "1")
-
 from sppark_tpu import params
 from sppark_tpu.ff import get_jax_field
 from sppark_tpu.ntt.pallas_kernels import ntt_fused, LG_TILE
@@ -23,6 +20,10 @@ FIELDS = [params.BABY_BEAR, params.GOLDILOCKS]
 
 @pytest.fixture(autouse=True, scope="module")
 def _force_fused_interpret():
+    # Set ONLY inside the fixture (i.e., while this module's tests run) —
+    # env mutation at module import time would leak forced-fused mode into
+    # every other module of a full-suite run (pytest imports all test
+    # modules during collection, before any test executes).
     old = {k: os.environ.get(k) for k in
            ("SPPARK_FUSED", "SPPARK_PALLAS_INTERPRET")}
     os.environ["SPPARK_FUSED"] = "1"
@@ -47,3 +48,28 @@ def test_fused_vs_oracle(fp, lg, rng):
         ontt.ntt_natural(fp, ints)
     assert F.to_int_list(ntt_fused(fp.name, dev, lg, inverse=True)) == \
         ontt.intt_natural(fp, ints)
+
+
+def test_fused_orders_and_coset(rng):
+    """The in-VMEM R-order kernel variants (in_rev/out_rev) + the
+    layout-matched coset shift, through the full facade in interpret mode."""
+    from sppark_tpu import ntt as tntt
+
+    fp = FIELDS[0]
+    F = get_jax_field(fp)
+    lg = 5
+    n = 1 << lg
+    ints = [rng.randrange(fp.modulus) for _ in range(n)]
+    exp_fwd = ontt.coset_ntt(fp, ints)
+    for order in tntt.InputOutputOrder:
+        xin = (ontt.bit_reverse(ints, lg) if order.value[0] == "R"
+               else ints)
+        got = F.to_int_list(tntt.base_dev(
+            fp.name, F.from_int_list(xin), lg, order=order,
+            ntt_type=tntt.Type.coset))
+        exp = (ontt.bit_reverse(exp_fwd, lg) if order.value[1] == "R"
+               else exp_fwd)
+        assert got == exp, order
+        plain = F.to_int_list(tntt.base_dev(
+            fp.name, F.from_int_list(xin), lg, order=order))
+        assert plain == ontt.apply_order(fp, xin, lg, order.value), order
