@@ -94,7 +94,7 @@ def base_dev(field, x, lg_domain: int,
     Narrow fields route through the fused Pallas kernels; wide fields
     through the generic XLA stage pipeline."""
     from .pallas_kernels import (use_fused, fused_facade_fn, _fused_tables,
-                                 LG_TILE)
+                                 coset_shift_bitrev)
 
     name = _field_name(field)
     params = get_field(name)
@@ -109,16 +109,12 @@ def base_dev(field, x, lg_domain: int,
     fused = use_fused(name, lg_domain)
     shift = ()
     if coset:
-        # the shift table must match the LAYOUT of the array it multiplies
-        # (ntt/ntt.cuh:196-209 passes the same bitrev flag to LDE_powers):
-        # forward pre-multiplies the input (R layout when order starts R);
-        # inverse post-multiplies the output — natural layout everywhere
-        # except the fused single-tile path, whose kernel emits R directly.
-        if not inverse:
-            br = order.value[0] == "R"
-        else:
-            br = fused and lg_domain <= LG_TILE and order.value[1] == "R"
-        shift = pm.coset_powers(lg_domain, inverse, bitrev=br)
+        # the shift table must match the LAYOUT of the array it multiplies;
+        # the condition lives in pallas_kernels.coset_shift_bitrev (asserted
+        # against inside fused_facade_fn so the two sides can't drift)
+        shift = pm.coset_powers(
+            lg_domain, inverse,
+            bitrev=coset_shift_bitrev(name, lg_domain, order.value, inverse))
     if fused:
         fn = fused_facade_fn(name, lg_domain, order.value, inverse, coset)
         return fn(x, _fused_tables(name, lg_domain, inverse), shift)

@@ -185,7 +185,14 @@ def _rows_kernel(field_name: str, lg: int, rows_pb: int,
     bit-reversed — the R* input orders); `out_rev=True` bit-reverses the
     result in VMEM (the *R output orders).  Together these give all four
     NN/NR/RN/RR orders without any standalone permutation pass — the role
-    of the reference's CT-vs-GS kernel selection (ntt/ntt.cuh:161-213)."""
+    of the reference's CT-vs-GS kernel selection (ntt/ntt.cuh:161-213).
+
+    with_mul + out_rev is unsupported: the multiplier is applied AFTER the
+    output bit-reversal, so the mul block would have to arrive bit-reversed
+    — no caller needs that layout, so it is rejected rather than guarded."""
+    assert not (with_mul and out_rev), \
+        "_rows_kernel: with_mul applies after out_rev (mul would need a " \
+        "bit-reversed layout); combine is unsupported"
     F = get_jax_field(field_name)
     ops = _RawOps(F)
     nl = 1 if F.n_limbs else 0
@@ -441,6 +448,22 @@ def ntt_fused(field, x, lg: int, inverse: bool = False):
     return fn(x, tables=_fused_tables(name, lg, inverse))
 
 
+def coset_shift_bitrev(field_name: str, lg: int, order: str,
+                       inverse: bool) -> bool:
+    """Single source of truth for the coset shift table's layout: True when
+    the table must be BIT-REVERSED to match the array it multiplies.
+
+    Forward pre-multiplies the wire input, whose layout is R iff the input
+    order is R.  Inverse post-multiplies the output, which is natural
+    everywhere except the fused single-tile path whose kernel emits R
+    directly (ntt/ntt.cuh:196-209 passes the same bitrev flag to
+    LDE_powers).  base_dev builds the table with this; fused_facade_fn
+    asserts against it — the two can't drift."""
+    if not inverse:
+        return order[0] == "R"
+    return use_fused(field_name, lg) and lg <= LG_TILE and order[1] == "R"
+
+
 @functools.lru_cache(maxsize=None)
 def fused_facade_fn(field_name: str, lg: int, order: str, inverse: bool,
                     coset: bool):
@@ -460,6 +483,12 @@ def fused_facade_fn(field_name: str, lg: int, order: str, inverse: bool,
     single = lg <= LG_TILE
     in_r = order[0] == "R"
     out_r = order[1] == "R"
+    if coset:
+        # the layout this facade multiplies the shift table in must agree
+        # with the layout base_dev built the table in
+        expect_br = in_r if not inverse else (single and out_r)
+        assert coset_shift_bitrev(field_name, lg, order, inverse) \
+            == expect_br, (field_name, lg, order, inverse)
 
     def run(x, tables, shift):
         if coset and not inverse:

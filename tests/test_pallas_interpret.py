@@ -73,3 +73,43 @@ def test_fused_orders_and_coset(rng):
         plain = F.to_int_list(tntt.base_dev(
             fp.name, F.from_int_list(xin), lg, order=order))
         assert plain == ontt.apply_order(fp, xin, lg, order.value), order
+
+
+def test_fused_four_step_orders_and_coset(rng, monkeypatch):
+    """The four-step branch (lg > LG_TILE) with coset + R orders — the
+    OTHER branch of fused_facade_fn.run (standalone bit_reverse passes,
+    natural-layout inverse coset shift).  LG_TILE is patched down so the
+    branch is reachable cheaply in interpret mode (ADVICE.md item 3)."""
+    from sppark_tpu import ntt as tntt
+    from sppark_tpu.ntt import pallas_kernels as pk
+
+    def _clear():
+        for f in (pk._rows_kernel, pk._cols_kernel, pk._fused_fn,
+                  pk.fused_facade_fn, pk._scaled_mid):
+            f.cache_clear()
+
+    monkeypatch.setattr(pk, "LG_TILE", 4)
+    _clear()
+    try:
+        fp = FIELDS[0]
+        F = get_jax_field(fp)
+        lg = 6                      # four-step: lg1 = 3, lg2 = 3
+        n = 1 << lg
+        ints = [rng.randrange(fp.modulus) for _ in range(n)]
+        exp_fwd = ontt.coset_ntt(fp, ints)
+        exp_inv = ontt.coset_intt(fp, ints)
+        for order in tntt.InputOutputOrder:
+            xin = (ontt.bit_reverse(ints, lg) if order.value[0] == "R"
+                   else ints)
+            for direction, exp0 in ((tntt.Direction.forward, exp_fwd),
+                                    (tntt.Direction.inverse, exp_inv)):
+                got = F.to_int_list(tntt.base_dev(
+                    fp.name, F.from_int_list(xin), lg, order=order,
+                    direction=direction, ntt_type=tntt.Type.coset))
+                exp = (ontt.bit_reverse(exp0, lg)
+                       if order.value[1] == "R" else exp0)
+                assert got == exp, (order, direction)
+    finally:
+        # drop executables traced against the patched LG_TILE so later
+        # modules don't see them
+        _clear()
