@@ -349,6 +349,70 @@ class CurveOps:
         ys = self.F.to_int_list(a[1])
         return list(zip(xs, ys))
 
+    # -- zero-copy wire ingestion (ffi_affine_sz path) ------------------------
+    def _coord_from_wire(self, words: np.ndarray):
+        """(n, degree*n32) wire words -> device coordinate batch."""
+        if self.degree == 2:
+            n32 = words.shape[-1] // 2
+            return (self.base.from_wire_np(np.ascontiguousarray(words[:, :n32])),
+                    self.base.from_wire_np(np.ascontiguousarray(words[:, n32:])))
+        return self.base.from_wire_np(words)
+
+    def affine_from_wire(self, x_words=None, y_words=None, buf=None,
+                         ffi_affine_sz: int = 0):
+        """Vectorized wire ingestion of an affine point batch — the role of
+        the strided FFI upload (msm/pippenger.cuh:379, 501-503) with the
+        Affine_inf_t layout (ec/affine_t.hpp:75-122).
+
+        Either pass `x_words`/`y_words` — (n, n32) u32 little-endian word
+        arrays per coordinate (G2: (n, 2*n32), c0||c1), in the field's wire
+        form (Montgomery for the big curves, raw for gl64-style fields) —
+        or a flat byte `buf` with per-point stride `ffi_affine_sz` holding
+        x||y[||inf]; inf-flagged points are zeroed to the (0, 0) infinity
+        encoding (affine_t.hpp:31-36).  No per-point Python loop anywhere.
+        """
+        if buf is not None:
+            raw = np.frombuffer(np.ascontiguousarray(buf), dtype=np.uint8)
+            cb = self._coord_bytes()
+            sz = ffi_affine_sz or 2 * cb
+            if sz < 2 * cb or len(raw) % sz:
+                raise ValueError(
+                    f"buffer length {len(raw)} not a multiple of point "
+                    f"stride {sz} (coord bytes {cb})")
+            pts = raw.reshape(-1, sz)
+            x_words = np.ascontiguousarray(pts[:, :cb]).view(np.uint32)
+            y_words = np.ascontiguousarray(pts[:, cb:2 * cb]).view(np.uint32)
+            x_words = x_words.reshape(len(pts), cb // 4)
+            y_words = y_words.reshape(len(pts), cb // 4)
+            if sz > 2 * cb:                       # explicit inf byte
+                inf = pts[:, 2 * cb] != 0
+                if inf.any():
+                    x_words = np.where(inf[:, None], 0,
+                                       x_words).astype(np.uint32)
+                    y_words = np.where(inf[:, None], 0,
+                                       y_words).astype(np.uint32)
+        x_words = np.asarray(x_words)
+        y_words = np.asarray(y_words)
+        return (self._coord_from_wire(x_words),
+                self._coord_from_wire(y_words))
+
+    def _coord_bytes(self) -> int:
+        bits = self.base.params.mont_bits if self.base.n_limbs else \
+            ((self.base.params.bits + 63) // 64) * 64 \
+            if self.base.params.bits > 32 else 32
+        return (bits // 8) * self.degree
+
+    def affine_to_wire(self, a):
+        """Device affine batch -> (x_words, y_words) numpy wire arrays."""
+        def conv(c):
+            if self.degree == 2:
+                w0 = self.base.to_wire_np(c[0])
+                w1 = self.base.to_wire_np(c[1])
+                return np.concatenate([np.atleast_2d(w0), np.atleast_2d(w1)],
+                                      axis=-1)
+            return self.base.to_wire_np(c)
+        return conv(a[0]), conv(a[1])
+
 
 def _bshape(base, x):
     return x.shape[1:] if base.n_limbs else x.shape

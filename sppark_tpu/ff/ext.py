@@ -71,6 +71,11 @@ class Fp2Field:
     def ones(self, batch_shape):
         return (self.base.ones(batch_shape), self.base.zeros(batch_shape))
 
+    def const(self, value: int, batch_shape=()):
+        """Base-field constant embedded as (c, 0)."""
+        return (self.base.const(value, batch_shape),
+                self.base.zeros(batch_shape))
+
     def inv(self, a):
         """1/(a0+a1 u) = conj(a)/norm(a); norm inverted in the base field
         (paired-lane reciprocal, ff/alt_bn128-fp2.hpp:135-144)."""
@@ -85,6 +90,19 @@ class Fp2Field:
         norm = F.sub(F.mul(a[0], a[0]),
                      F.mul(self._nr(a[0]), F.mul(a[1], a[1])))
         ninv = F.batch_inv(norm, axis=axis)
+        return (F.mul(a[0], ninv), F.neg(F.mul(a[1], ninv)))
+
+    def batch_inv_tree(self, a):
+        """Tree batch inversion via the norm map: norm(a) = a0^2 - nr*a1^2
+        lives in the BASE field, so one base-field product tree + Fermat
+        inversion serves the whole Fp2 batch (conj/norm,
+        ff/alt_bn128-fp2.hpp:135-144 + ff/batch_inversion.hpp:18-52).
+        Same contract as BaseField.batch_inv_tree: power-of-two last axis,
+        non-zero inputs."""
+        F = self.base
+        norm = F.sub(F.mul(a[0], a[0]),
+                     F.mul(self._nr(a[0]), F.mul(a[1], a[1])))
+        ninv = F.batch_inv_tree(norm)
         return (F.mul(a[0], ninv), F.neg(F.mul(a[1], ninv)))
 
     # host conversion: values are (c0_int, c1_int) pairs

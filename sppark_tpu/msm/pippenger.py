@@ -86,13 +86,20 @@ class MSMContext:
     """
 
     def __init__(self, curve, npoints: int, wbits: int = 0,
-                 mode: str = "auto"):
+                 mode: str = "auto", chunk: int = 0):
         self.curve = get_curve(curve) if isinstance(curve, str) else curve
         self.ops: CurveOps = get_curve_ops(self.curve.name)
         self.npoints = npoints
         sf = self.curve.scalar
         self.scalar_bits = sf.bits
-        self.wbits = wbits or window_bits(npoints, self.scalar_bits)
+        # chunked batching for point sets beyond device memory: the window
+        # policy and stage functions are sized to the CHUNK, and per-chunk
+        # window sums accumulate with one xyzz_add of (nwins,) points
+        # (role of the batch/stride split + stream pipeline,
+        # msm/pippenger.cuh:454-459, 496-556 — XLA's async dispatch
+        # overlaps chunk upload with compute in place of the 3 streams).
+        self.chunk = min(chunk, npoints) if chunk else npoints
+        self.wbits = wbits or window_bits(self.chunk, self.scalar_bits)
         self.nwins = (self.scalar_bits + self.wbits - 1) // self.wbits
         self.nbuckets = 1 << (self.wbits - 1)
         self.n_words = (self.scalar_bits + 31) // 32
@@ -132,8 +139,27 @@ class MSMContext:
         else:
             words = jnp.asarray(_scalar_words_from_ints(
                 scalars, self.curve.scalar.modulus, self.n_words))
-        wx, wy = self._fn(words, pts_dev)
-        return self._collect(wx, wy)
+        n = words.shape[1]
+        if n <= self.chunk:
+            wx, wy = self._fn(words, pts_dev)
+            return self._collect(wx, wy)
+        # chunked path: window sums are linear in the point set, so chunks
+        # combine with one (nwins,)-lane xyzz_add each — zero-padded tail
+        # chunks are harmless (zero scalars land in no bucket)
+        total = None
+        for lo in range(0, n, self.chunk):
+            hi = min(lo + self.chunk, n)
+            w = words[:, lo:hi]
+            pts = jax.tree.map(lambda a: a[..., lo:hi], pts_dev)
+            if hi - lo < self.chunk:
+                pad = self.chunk - (hi - lo)
+                w = jnp.pad(w, ((0, 0), (0, pad)))
+                pts = jax.tree.map(
+                    lambda a: jnp.pad(a, ((0, 0),) * (a.ndim - 1)
+                                      + ((0, pad),), mode="edge"), pts)
+            win = self._fn.window_sums(w, pts)
+            total = win if total is None else self.ops.xyzz_add(total, win)
+        return self._collect(*self._fn.to_affine(total))
 
     def _collect(self, wx, wy) -> AffinePoint:
         """Host window merge: MSB-first doubling merge of the per-window
@@ -192,12 +218,15 @@ def _stage_bodies(curve_name: str, wbits: int, nwins: int, n_words: int,
     The sharded MSM wraps each in shard_map (parallel/msm.py); the
     single-chip path jits each directly.
 
-    mode: "affine" (batch-affine buckets, default for G1), "xyzz" (unified
-    xyzz madd; required for G2 until Fp2 grows batch_inv_tree), "auto"."""
+    mode: "xyzz" (unified xyzz madd — the measured-fastest mode on TPU and
+    the "auto" default), "affine" (batch-affine buckets; available for G1
+    and G2 via batch_inv_tree, but its per-round Fermat root inversion is a
+    ~500-serial-mul latency bubble that the VPU cannot hide, measured ~5x
+    slower than xyzz on a v5e — kept for cross-checking)."""
     curve = get_curve(curve_name)
     ops = get_curve_ops(curve_name)
     if mode == "auto":
-        mode = "xyzz" if ops.degree == 2 else "affine"
+        mode = "xyzz"
     order = curve.scalar.modulus
     nbuckets = 1 << (wbits - 1)
     half = np.uint32(1 << (wbits - 1))

@@ -190,9 +190,11 @@ def _rows_kernel(field_name: str, lg: int, rows_pb: int,
     with_mul + out_rev is unsupported: the multiplier is applied AFTER the
     output bit-reversal, so the mul block would have to arrive bit-reversed
     — no caller needs that layout, so it is rejected rather than guarded."""
-    assert not (with_mul and out_rev), \
-        "_rows_kernel: with_mul applies after out_rev (mul would need a " \
-        "bit-reversed layout); combine is unsupported"
+    if with_mul and out_rev:
+        # survives python -O: this is an API contract, not a debug check
+        raise ValueError(
+            "_rows_kernel: with_mul applies after out_rev (mul would need "
+            "a bit-reversed layout); combine is unsupported")
     F = get_jax_field(field_name)
     ops = _RawOps(F)
     nl = 1 if F.n_limbs else 0
@@ -485,10 +487,14 @@ def fused_facade_fn(field_name: str, lg: int, order: str, inverse: bool,
     out_r = order[1] == "R"
     if coset:
         # the layout this facade multiplies the shift table in must agree
-        # with the layout base_dev built the table in
+        # with the layout base_dev built the table in.  NOTE: checked once
+        # per (field, lg, order, inverse, coset) construction (lru_cache);
+        # use_fused consults live env state, so a mid-process SPPARK_FUSED
+        # flip is not re-checked here (base_dev still routes correctly).
         expect_br = in_r if not inverse else (single and out_r)
-        assert coset_shift_bitrev(field_name, lg, order, inverse) \
-            == expect_br, (field_name, lg, order, inverse)
+        if coset_shift_bitrev(field_name, lg, order, inverse) != expect_br:
+            raise AssertionError(
+                f"coset shift layout drift: {(field_name, lg, order, inverse)}")
 
     def run(x, tables, shift):
         if coset and not inverse:

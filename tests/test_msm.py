@@ -161,3 +161,112 @@ def test_msm_g2_bls12_381(rng):
     got = mult_pippenger("bls12_381_g2", points, scalars, wbits=6)
     want = msm_naive(curve, points, scalars)
     assert (got.x, got.y, got.inf) == (want.x, want.y, want.inf)
+
+
+def test_msm_all_equal_scalars(rng):
+    """Adversarial skew: every scalar identical, so one bucket per window
+    holds ALL points (rounds == n).  Quadratically slow by design on the
+    conflict-free schedule (documented in msm/pippenger.py) but must stay
+    correct — the reference's sorted-run accumulate handles this shape
+    natively (msm/pippenger.cuh:193-208)."""
+    curve = get_curve(FAST_CURVE)
+    o = get_oracle(curve)
+    base = [o.random_point(rng) for _ in range(4)]
+    n = 24
+    points = [base[i % 4] for i in range(n)]
+    k = rng.randrange(curve.scalar.modulus)
+    got = mult_pippenger(FAST_CURVE, points, [k] * n, wbits=_WBITS)
+    want = msm_naive(curve, points, [k] * n)
+    assert (got.x, got.y, got.inf) == (want.x, want.y, want.inf)
+
+
+def test_msm_chunked_invoke(rng):
+    """Chunked batching (pippenger.cuh:454-459 batch split): window sums
+    accumulate across chunks, including a zero-padded tail chunk."""
+    n = 56                                   # 3 chunks of 24 (tail padded)
+    points, scalars = make_inputs(FAST_CURVE, n, rng)
+    ctx = MSMContext(FAST_CURVE, n, wbits=_WBITS, chunk=24)
+    got = ctx.invoke(scalars, points=points)
+    want = msm_naive(get_curve(FAST_CURVE), points, scalars)
+    assert (got.x, got.y, got.inf) == (want.x, want.y, want.inf)
+
+
+def test_msm_g2_affine_mode(rng):
+    """G2 batch-affine buckets via Fp2.batch_inv_tree (the path the
+    reference unlocks with warp-pair fp2 + batch inversion,
+    ff/alt_bn128-fp2.hpp:135-144, ff/baby_bear.hpp:602-633)."""
+    curve = get_curve("test_gl64_g2")
+    o = get_oracle(curve)
+    base = [o.random_point(rng) for _ in range(4)]
+    n = 16
+    points = [base[i % 4] for i in range(n)]
+    points[3] = AffinePoint((0, 0), (0, 0), True)
+    scalars = [rng.randrange(curve.scalar.modulus) for _ in range(n)]
+    scalars[2] = curve.scalar.modulus - 1
+    got = mult_pippenger_mode("test_gl64_g2", points, scalars, wbits=6,
+                              mode="affine")
+    want = msm_naive(curve, points, scalars)
+    assert (got.x, got.y, got.inf) == (want.x, want.y, want.inf)
+
+
+def mult_pippenger_mode(curve, points, scalars, wbits, mode):
+    ctx = MSMContext(curve, len(points), wbits=wbits, mode=mode)
+    return ctx.invoke(scalars, points=points)
+
+
+def test_msm_wire_point_ingestion(rng):
+    """Zero-copy wire ingestion (ffi_affine_sz strided layout with inf
+    byte, msm/pippenger.cuh:379, ec/affine_t.hpp:75-122) matches the
+    int-list path."""
+    import numpy as np
+    from sppark_tpu.ec import get_curve_ops
+
+    curve = get_curve(FAST_CURVE)
+    ops = get_curve_ops(FAST_CURVE)
+    points, scalars = make_inputs(FAST_CURVE, 32, rng)
+    ref = ops.affine_from_ints(points)
+    xw, yw = ops.affine_to_wire(ref)
+    # plain (x_words, y_words) form (u64 for gl64-family coordinates)
+    got_pts = ops.affine_from_wire(x_words=xw, y_words=yw)
+    got = mult_pippenger(FAST_CURVE, got_pts, scalars, wbits=_WBITS)
+    want = msm_naive(curve, points, scalars)
+    assert (got.x, got.y, got.inf) == (want.x, want.y, want.inf)
+
+    # strided byte-buffer form with explicit inf byte
+    cb = ops._coord_bytes()
+    stride = 2 * cb + 8                      # x || y || inf byte + pad
+    buf = np.zeros((len(points), stride), dtype=np.uint8)
+    buf[:, :cb] = np.ascontiguousarray(
+        xw.view(np.uint8).reshape(len(points), cb))
+    buf[:, cb:2 * cb] = np.ascontiguousarray(
+        yw.view(np.uint8).reshape(len(points), cb))
+    for i, p in enumerate(points):
+        if p.inf:
+            buf[i, 2 * cb] = 1
+            buf[i, :2 * cb] = 0xAB           # garbage; must be masked
+    got_pts2 = ops.affine_from_wire(buf=buf.ravel(), ffi_affine_sz=stride)
+    got2 = mult_pippenger(FAST_CURVE, got_pts2, scalars, wbits=_WBITS)
+    assert (got2.x, got2.y, got2.inf) == (want.x, want.y, want.inf)
+
+
+def test_mont_scalar_ingestion(rng):
+    """Montgomery-wire scalars -> canonical word planes on device (the
+    breakdown kernel's from() conversion, msm/pippenger.cuh:97)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from sppark_tpu import params
+    from sppark_tpu.ff import get_jax_field
+    from sppark_tpu.msm.pippenger import demont_scalar_words
+
+    fp = params.BLS12_381_FR
+    F = get_jax_field(fp)
+    n_words = (fp.bits + 31) // 32
+    vals = [0, 1, fp.modulus - 1] + [rng.randrange(fp.modulus)
+                                     for _ in range(13)]
+    mont = [fp.to_mont(v) for v in vals]
+    words = np.asarray([[(m >> (32 * i)) & 0xFFFFFFFF for m in mont]
+                        for i in range(n_words)], dtype=np.uint32)
+    got = np.asarray(demont_scalar_words(F, jnp.asarray(words)))
+    want = np.asarray([[(v >> (32 * i)) & 0xFFFFFFFF for v in vals]
+                       for i in range(n_words)], dtype=np.uint32)
+    assert (got == want).all()
