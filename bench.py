@@ -1,15 +1,29 @@
-"""Headline benchmark: Goldilocks NTT butterflies/s per chip.
+"""Headline benchmark: Goldilocks NTT 2^24 + BLS12-381 MSM, per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line with the driver contract keys
+{"metric", "value", "unit", "vs_baseline"} for the headline NTT number,
+plus an "extras" list carrying the MSM metric (BENCH config 4) measured in
+the same run.
 
-Baseline context (BASELINE.md): the reference publishes no numbers; the
-driver-set bar is "Goldilocks NTT 2^24 within 2x of A100 sppark per chip".
-sppark's Goldilocks NTT at 2^24 on A100 is estimated at ~25 ms (HBM-bound:
-~lg passes over 128 MiB at ~1.5 TB/s effective), i.e. ~8.0e9 butterflies/s.
-vs_baseline reports ours / 8.0e9 — so vs_baseline >= 0.5 meets the 2x bar.
+Baselines (BASELINE.md: the reference publishes NO numbers, so these are
+stated estimates, not sppark measurements):
+
+* NTT — sppark runs gl64 2^24 in 3 kernel passes (ntt/ntt.cuh:100-128):
+  3 passes x 256 MiB read+write at ~70% of A100's 2.0 TB/s => ~0.55 ms
+  => ~3.7e11 butterflies/s HBM-roofline ceiling; allowing for its
+  butterfly arithmetic we take A100_NTT = 2.5e11 butterflies/s.  For
+  scale: this v5e's own ceilings are ~2.1e11 (HBM: 2 passes at ~70% of
+  819 GB/s) and ~4e10 (VPU: ~55 int32 lane-ops per butterfly at ~2
+  ops/cycle/lane) — the VPU bound binds first; vs_baseline ~0.16 is the
+  speed-of-light for this chip without MXU-based butterflies.
+* MSM — published A100 sppark-class BLS12-381 2^23-24 MSMs land around
+  100-140 ms => ~1.2e8 points/s; we take A100_MSM = 1.0e8 points/s.
+  BASELINE's bar is "within 2x of A100 per chip" (vs_baseline >= 0.5).
 
 Env knobs: SPPARK_BENCH_LG (default 24 on TPU, 16 elsewhere),
-SPPARK_BENCH_FIELD (default goldilocks), SPPARK_BENCH_REPS (default 5).
+SPPARK_BENCH_FIELD (default goldilocks), SPPARK_BENCH_REPS (default 5),
+SPPARK_BENCH_MSM (default 1 on TPU; 0 skips), SPPARK_BENCH_MSM_LG
+(default 20), SPPARK_BENCH_MSM_CURVE (default bls12_381).
 """
 
 import json
@@ -18,16 +32,30 @@ import time
 
 import numpy as np
 
-A100_BUTTERFLIES_PER_S = 8.0e9   # estimated sppark A100 gl64 NTT 2^24
+A100_NTT_BUTTERFLIES_PER_S = 2.5e11   # estimate; see module docstring
+A100_MSM_POINTS_PER_S = 1.0e8         # estimate; see module docstring
 
 
-def main():
+def _enable_compile_cache():
+    """Persist compiled executables across bench processes (first-compile
+    on the remote TPU runtime costs minutes; steady-state numbers are
+    unaffected since timing always excludes the warm-up call)."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(__file__) or ".",
+                                       ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+def bench_ntt(backend):
     import jax
     from sppark_tpu.params import get_field
     from sppark_tpu.ff import get_jax_field
     from sppark_tpu.ntt import base_dev
 
-    backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
     lg = int(os.environ.get("SPPARK_BENCH_LG", 24 if on_tpu else 16))
     field = os.environ.get("SPPARK_BENCH_FIELD", "goldilocks")
@@ -51,8 +79,7 @@ def main():
         return np.asarray(jax.device_get(
             arr[(0,) * (arr.ndim - 1) + (slice(0, 1),)]))
 
-    # warm-up / compile
-    out = base_dev(field, x, lg)
+    out = base_dev(field, x, lg)     # warm-up / compile
     fence(out)
 
     # time a dependent chain (each NTT consumes the previous result) so no
@@ -69,14 +96,85 @@ def main():
         times.append((time.perf_counter() - t0) / chain)
         out = y
     dt = min(times)
-    butterflies = (n // 2) * lg
-    rate = butterflies / dt
-    print(json.dumps({
+    rate = (n // 2) * lg / dt
+    return {
         "metric": f"{field} NTT 2^{lg} butterflies/s ({backend})",
         "value": round(rate, 1),
         "unit": "butterflies/s",
-        "vs_baseline": round(rate / A100_BUTTERFLIES_PER_S, 4),
-    }))
+        "vs_baseline": round(rate / A100_NTT_BUTTERFLIES_PER_S, 4),
+        "ntt_ms": round(dt * 1e3, 3),
+    }
+
+
+def bench_msm(backend):
+    import random
+    import jax
+    import jax.numpy as jnp
+    from sppark_tpu.params import get_curve
+    from sppark_tpu.msm.pippenger import MSMContext
+    from sppark_tpu.oracle.ec import get_oracle
+    from sppark_tpu.ec import get_curve_ops
+
+    curve = os.environ.get("SPPARK_BENCH_MSM_CURVE", "bls12_381")
+    lg = int(os.environ.get("SPPARK_BENCH_MSM_LG", 20))
+    n = 1 << lg
+    cp = get_curve(curve)
+    o = get_oracle(cp)
+    rng = random.Random(42)
+    ops = get_curve_ops(cp.name)
+
+    # reference bench protocol: 2^11 distinct random points cloned up to n
+    # ON DEVICE, infinity planted at 3 (poc/msm-cuda/src/util.rs:13-38)
+    nbase = 1 << min(lg, 11)
+    base = [o.random_point(rng) for _ in range(nbase)]
+    bx, by = ops.affine_from_ints(base)
+    points = tuple(jnp.tile(c, (1,) * (c.ndim - 1) + (n // nbase,))
+                   for c in (bx, by))
+    if n > 3:
+        points = tuple(c.at[..., 3].set(0) for c in points)
+
+    ctx = MSMContext(curve, n)
+    ctx.set_points(points)
+    nprng = np.random.default_rng(42)
+    words = nprng.integers(0, 1 << 32, size=(ctx.n_words, n),
+                           dtype=np.uint64).astype(np.uint32)
+    top = cp.scalar.modulus >> (32 * (ctx.n_words - 1))
+    words[-1] %= np.uint32(max(top, 1))
+
+    ctx.invoke(words)                 # warm-up / compile
+    reps = int(os.environ.get("SPPARK_BENCH_MSM_REPS", 2))
+    times = []
+    for r in range(reps):
+        w = words.copy()
+        w[0] ^= np.uint32(r + 1)      # perturb: no layer can cache answers
+        t0 = time.perf_counter()
+        ctx.invoke(w)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    rate = n / dt
+    return {
+        "metric": f"{curve} MSM 2^{lg} points/s ({backend}, "
+                  f"wbits={ctx.wbits})",
+        "value": round(rate, 1),
+        "unit": "points/s",
+        "vs_baseline": round(rate / A100_MSM_POINTS_PER_S, 4),
+        "msm_s": round(dt, 3),
+    }
+
+
+def main():
+    import jax
+    _enable_compile_cache()
+    backend = jax.default_backend()
+    result = bench_ntt(backend)
+    on_tpu = backend not in ("cpu",)
+    run_msm = int(os.environ.get("SPPARK_BENCH_MSM", 1 if on_tpu else 0))
+    if run_msm:
+        try:
+            result["extras"] = [bench_msm(backend)]
+        except Exception as e:           # MSM failure must not mask the NTT line
+            result["extras"] = [{"metric": "msm", "error": repr(e)[:200]}]
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -15,9 +15,10 @@ import numpy as np
 
 def main():
     import jax
+    _enable_compile_cache()
     from sppark_tpu.params import get_curve
-    from sppark_tpu.msm.pippenger import MSMContext, _scalar_words_from_ints
-    from sppark_tpu.oracle.ec import get_oracle, AffinePoint
+    from sppark_tpu.msm.pippenger import MSMContext
+    from sppark_tpu.oracle.ec import get_oracle
 
     curve = os.environ.get("SPPARK_MSM_CURVE", "pallas")
     lg = int(os.environ.get("SPPARK_MSM_LG", 20))
@@ -29,16 +30,30 @@ def main():
     rng = random.Random(42)
 
     # reference bench protocol: 2^11 distinct random points cloned up to n,
-    # infinity planted at 3 (poc/msm-cuda/src/util.rs:13-38)
-    base = [o.random_point(rng) for _ in range(1 << min(lg, 11))]
-    points = [base[i % len(base)] for i in range(n)]
-    if n > 3:
-        points[3] = AffinePoint(0, 0, True)
-    scalars = [rng.randrange(cp.scalar.modulus) for _ in range(n)]
+    # infinity planted at 3 (poc/msm-cuda/src/util.rs:13-38).  The clone
+    # happens on DEVICE (jnp.tile of the converted base set) so setup is
+    # seconds, not an O(n) python loop.
+    import jax.numpy as jnp
+    from sppark_tpu.ec import get_curve_ops
 
+    ops = get_curve_ops(cp.name)
+    nbase = 1 << min(lg, 11)
+    base = [o.random_point(rng) for _ in range(nbase)]
+    bx, by = ops.affine_from_ints(base)
+    reps_n = n // nbase
+    points = tuple(jnp.tile(c, (1,) * (c.ndim - 1) + (reps_n,))
+                   for c in (bx, by))
+    if n > 3:
+        # infinity planted at 3 (x == y == 0)
+        points = tuple(c.at[..., 3].set(0) for c in points)
     ctx = MSMContext(curve, n, mode=mode)
     ctx.set_points(points)
-    words0 = _scalar_words_from_ints(scalars, cp.scalar.modulus, ctx.n_words)
+    # uniform-ish random scalars < order, vectorized (top word clamped)
+    nprng = np.random.default_rng(42)
+    words0 = nprng.integers(0, 1 << 32, size=(ctx.n_words, n),
+                            dtype=np.uint64).astype(np.uint32)
+    top = cp.scalar.modulus >> (32 * (ctx.n_words - 1))
+    words0[-1] %= np.uint32(max(top, 1))
 
     t0 = time.perf_counter()
     res = ctx.invoke(words0.copy())
@@ -62,6 +77,18 @@ def main():
         "first_call_s": round(compile_s, 1),
         "check_x": str(res.x)[:12],
     }))
+
+
+def _enable_compile_cache():
+    import os as _os
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          _os.path.join(_os.path.dirname(__file__) or ".",
+                                        ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

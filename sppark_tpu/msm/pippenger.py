@@ -158,7 +158,13 @@ class MSMContext:
                     lambda a: jnp.pad(a, ((0, 0),) * (a.ndim - 1)
                                       + ((0, pad),), mode="edge"), pts)
             win = self._fn.window_sums(w, pts)
-            total = win if total is None else self.ops.xyzz_add(total, win)
+            if total is None:
+                total = win
+            else:
+                from ..ec.pallas_ops import use_fused_madd, fused_xyzz_add
+                total = (fused_xyzz_add(self.curve.name, total, win)
+                         if use_fused_madd(self.ops)
+                         else self.ops.xyzz_add(total, win))
         return self._collect(*self._fn.to_affine(total))
 
     def _collect(self, wx, wy) -> AffinePoint:
@@ -229,6 +235,21 @@ def _stage_bodies(curve_name: str, wbits: int, nwins: int, n_words: int,
         mode = "xyzz"
     order = curve.scalar.modulus
     nbuckets = 1 << (wbits - 1)
+    # -- top-window sub-bucket spreading ------------------------------------
+    # The top window's digit range is tiny (scalars fold to <= order/2, so
+    # its magnitudes are <= order/2 >> (nwins-1)*wbits, plus a carry): all
+    # n points land in a handful of buckets, and since the accumulate
+    # round count is the MAX bucket occupancy, it would be ~n/top_span
+    # instead of ~n/nbuckets — a measured 30x round blow-up at 2^16.  The
+    # reference's work-stealing accumulate absorbs this with more threads
+    # per window (msm/pippenger.cuh:157-176); the TPU analogue: spread the
+    # top window's digit d across k = nbuckets/span replica slots
+    # d + (i mod k)*span, and fold the replicas with lg(k) xyzz adds
+    # before integrate.  Occupancy becomes uniform across the full bucket
+    # axis again.
+    top_max = (order // 2 >> ((nwins - 1) * wbits)) + 1
+    top_span = 1 << (top_max - 1).bit_length() if top_max > 1 else 1
+    k_spread = nbuckets // top_span if top_span < nbuckets else 1
     half = np.uint32(1 << (wbits - 1))
     full = 1 << wbits
     mask = np.uint32(full - 1)
@@ -278,6 +299,12 @@ def _stage_bodies(curve_name: str, wbits: int, nwins: int, n_words: int,
             carry = d_neg.astype(_U32)
             ids.append(mag)
             signs.append(d_neg ^ neg)
+        if k_spread > 1:
+            # top-window replica slots d + (i mod k)*span (see module-level
+            # comment at k_spread); digit 0 stays 0 (no bucket)
+            rep = (jnp.arange(words.shape[1], dtype=_U32)
+                   % np.uint32(k_spread)) * np.uint32(top_span)
+            ids[-1] = jnp.where(ids[-1] == 0, ids[-1], ids[-1] + rep)
         return jnp.stack(ids), jnp.stack(signs)
 
     bshape = (nwins, nbuckets)
@@ -324,9 +351,19 @@ def _stage_bodies(curve_name: str, wbits: int, nwins: int, n_words: int,
             return barrier((gx, gy))
 
         if mode == "xyzz":
-            def round_body(r, bucket):
-                gx, gy = fetch(r)
-                return barrier(ops.xyzz_madd(bucket, (gx, gy)))
+            from ..ec.pallas_ops import use_fused_madd, fused_xyzz_madd
+
+            if use_fused_madd(ops):
+                # one fused Pallas kernel per round: the whole 8M+2S madd
+                # (plus block-gated doubling leg) stays in VMEM
+                def round_body(r, bucket):
+                    gx, gy = fetch(r)
+                    return barrier(fused_xyzz_madd(curve_name, bucket,
+                                                   (gx, gy)))
+            else:
+                def round_body(r, bucket):
+                    gx, gy = fetch(r)
+                    return barrier(ops.xyzz_madd(bucket, (gx, gy)))
 
             return jax.lax.fori_loop(0, rounds[0], round_body,
                                      ops.xyzz_infinity(bshape))
@@ -380,7 +417,39 @@ def _stage_bodies(curve_name: str, wbits: int, nwins: int, n_words: int,
         """W = sum_b (b) * bucket_b over digits b = 1..nbuckets, as grouped
         serial acc/res strip reductions — the exact dataflow of the
         reference's integrate kernel + host collect (pippenger.cuh:225-296,
-        627-665), vectorized over (nwins, G) lanes."""
+        627-665), vectorized over (nwins, G) lanes.
+
+        On TPU big-Montgomery curves the adds/doublings route through the
+        fused Pallas kernels (ec/pallas_ops.py) — the per-field-op XLA
+        form of one unified xyzz add is a ~30K-op graph whose scan bodies
+        took tens of minutes to compile."""
+        from ..ec.pallas_ops import (use_fused_madd, fused_xyzz_add,
+                                     fused_xyzz_dbl)
+        if use_fused_madd(ops):
+            xadd = lambda p, q: fused_xyzz_add(curve_name, p, q)
+            xdbl = lambda p: fused_xyzz_dbl(curve_name, p)
+        else:
+            xadd, xdbl = ops.xyzz_add, ops.xyzz_dbl
+        if k_spread > 1:
+            # fold the top window's replica sub-buckets: slot (r, m) holds
+            # digit m+1's r-th replica; lg(k) pairwise xyzz adds
+            def _to_replicas(c):
+                t = c[..., -1:, :]                      # (.., 1, nbuckets)
+                return t.reshape(t.shape[:-1] + (k_spread, top_span))
+
+            tops = jax.tree.map(_to_replicas, bucket)
+            while jax.tree.leaves(tops)[0].shape[-2] > 1:
+                even = jax.tree.map(lambda c: c[..., 0::2, :], tops)
+                odd = jax.tree.map(lambda c: c[..., 1::2, :], tops)
+                tops = xadd(even, odd)
+            top_row = jax.tree.map(
+                lambda c: jnp.concatenate(
+                    [c.reshape(c.shape[:-3] + (1, top_span)),
+                     jnp.zeros(c.shape[:-3] + (1, nbuckets - top_span),
+                               c.dtype)], axis=-1), tops)
+            bucket = jax.tree.map(
+                lambda b, t: jnp.concatenate([b[..., :-1, :], t], axis=-2),
+                bucket, top_row)
         G = min(64, nbuckets)
         C = nbuckets // G
 
@@ -395,8 +464,8 @@ def _stage_bodies(curve_name: str, wbits: int, nwins: int, n_words: int,
 
         def strip_step(carry, b):
             acc, res = carry
-            acc = barrier(ops.xyzz_add(acc, b))
-            res = ops.xyzz_add(res, acc)
+            acc = barrier(xadd(acc, b))
+            res = xadd(res, acc)
             return barrier((acc, res)), None
 
         (T, R), _ = jax.lax.scan(strip_step, (zero_g, zero_g), xs)
@@ -413,20 +482,20 @@ def _stage_bodies(curve_name: str, wbits: int, nwins: int, n_words: int,
         def group_step(carry, inp):
             accT, sumSuf, sumRes = carry
             t, r, g = inp
-            accT = barrier(ops.xyzz_add(accT, t))
-            sumSuf_new = ops.xyzz_add(sumSuf, accT)
+            accT = barrier(xadd(accT, t))
+            sumSuf_new = xadd(sumSuf, accT)
             keep = g >= 1
             sumSuf = jax.tree.map(
                 lambda a, b: jnp.where(keep, a, b), sumSuf_new, sumSuf)
-            sumRes = ops.xyzz_add(sumRes, r)
+            sumRes = xadd(sumRes, r)
             return barrier((accT, sumSuf, sumRes)), None
 
         (_, sumSuf, sumRes), _ = jax.lax.scan(
             group_step, (zero_w, zero_w, zero_w), (Ts, Rs, g_idx))
         # C * sumSuf via lg2(C) doublings (C is a power of two)
         for _ in range(int(math.log2(C))):
-            sumSuf = ops.xyzz_dbl(sumSuf)
-        return ops.xyzz_add(sumRes, sumSuf)               # (.., nwins)
+            sumSuf = xdbl(sumSuf)
+        return xadd(sumRes, sumSuf)               # (.., nwins)
 
     return schedule, accumulate, integrate, ops.xyzz_to_affine
 

@@ -68,16 +68,41 @@ class _RawOps:
 
     Fields exposing lazy (partially-reduced) variants — gl64's
     GL64_PARTIALLY_REDUCED analogue — get them used for every in-kernel op,
-    with one `canon()` at kernel exit."""
+    with one `canon()` at kernel exit.
+
+    Multi-limb Montgomery fields route through the raw list-form limb math
+    (ff/bigmont.py:mul_limbs) — BigMontField.mul itself dispatches to a
+    pallas_call, which cannot nest inside another kernel."""
 
     def __init__(self, F):
+        from ..ff.bigmont import (BigMontField, mul_limbs, add_limbs,
+                                  sub_limbs_mod)
+
         self.F = F
         cls = type(F)
+        self.n_limbs = F.n_limbs
+        if isinstance(F, BigMontField):
+            L, P, M0 = F.L, F.P_LIMBS, F.M0
+
+            def unst(a):
+                return [a[i] for i in range(L)]
+
+            def bcast(planes):
+                shape = jnp.broadcast_shapes(*(p.shape for p in planes))
+                return jnp.stack([jnp.broadcast_to(p, shape)
+                                  for p in planes])
+
+            self.mul = lambda a, b: bcast(mul_limbs(unst(a), unst(b), P, M0))
+            self.add = lambda a, b: bcast(add_limbs(unst(a), unst(b), P))
+            self.sub = lambda a, b: bcast(sub_limbs_mod(unst(a), unst(b), P))
+            self.select = lambda c, a, b: cls.select(F, c, a, b)
+            self.addl, self.subl, self.mull = self.add, self.sub, self.mul
+            self.canon = lambda a: a
+            return
         self.add = lambda a, b: cls.add(F, a, b)
         self.sub = lambda a, b: cls.sub(F, a, b)
         self.mul = lambda a, b: cls.mul(F, a, b)
         self.select = lambda c, a, b: cls.select(F, c, a, b)
-        self.n_limbs = F.n_limbs
         lazy = hasattr(cls, "add_lazy")
         self.addl = (lambda a, b: cls.add_lazy(F, a, b)) if lazy else self.add
         self.subl = (lambda a, b: cls.sub_lazy(F, a, b)) if lazy else self.sub
@@ -125,6 +150,8 @@ def _bitrev_axis(ops: _RawOps, x, lg: int, axis: int = -1):
 # multiply then runs on HALF the elements (the lo half's product in the
 # roll form is dead work) and the roll/select pair disappears.
 _SPLIT_GRANULE = {-1: 128, -2: 8}
+# 16 keeps Mosaic compile time sane; 64 halves the small-h twiddle muls but
+# was measured to push the remote compile beyond 20 minutes at lg 24
 _SPLIT_MAX_BLOCKS = 16
 
 
@@ -214,12 +241,39 @@ def _rows_kernel(field_name: str, lg: int, rows_pb: int,
         out_ref[:] = jnp.swapaxes(y, -1, -2) if out_t else y
 
     def call(x, tw, mul=None):
-        B = x.shape[nl]
-        grid = (B // rows_pb,)
-        blk = limb + (rows_pb, n)
-        idx = (lambda i: (0, i, 0)) if nl else (lambda i: (i, 0))
-        tw_blk = limb + (max(lg, 1), n)
-        tw_idx = (lambda i: (0, 0, 0)) if nl else (lambda i: (0, 0))
+        """x: (limb?, OB?, B, n) — an optional extra leading batch dim OB
+        (the recursive six-step's outer axis) becomes a second grid dim;
+        with out_t only the B axis transposes against n, per OB slice."""
+        batched = x.ndim > nl + 2
+        B = x.shape[nl + (1 if batched else 0)]
+        if batched:
+            OB = x.shape[nl]
+            grid = (OB, B // rows_pb)
+            blk = limb + (1, rows_pb, n)
+            idx = ((lambda b, i: (0, b, i, 0)) if nl
+                   else (lambda b, i: (b, i, 0)))
+            tw_blk = limb + (max(lg, 1), n)
+            tw_idx = ((lambda b, i: (0, 0, 0)) if nl
+                      else (lambda b, i: (0, 0)))
+            if out_t:
+                out_blk = limb + (1, n, rows_pb)
+                out_idx = ((lambda b, i: (0, b, 0, i)) if nl
+                           else (lambda b, i: (b, 0, i)))
+                out_shape = x.shape[:nl] + (OB, n, B)
+            else:
+                out_blk, out_idx, out_shape = blk, idx, x.shape
+        else:
+            grid = (B // rows_pb,)
+            blk = limb + (rows_pb, n)
+            idx = (lambda i: (0, i, 0)) if nl else (lambda i: (i, 0))
+            tw_blk = limb + (max(lg, 1), n)
+            tw_idx = (lambda i: (0, 0, 0)) if nl else (lambda i: (0, 0))
+            if out_t:
+                out_blk = limb + (n, rows_pb)
+                out_idx = (lambda i: (0, 0, i)) if nl else (lambda i: (0, i))
+                out_shape = x.shape[:nl] + (n, B)
+            else:
+                out_blk, out_idx, out_shape = blk, idx, x.shape
         in_specs = [
             pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM),
             pl.BlockSpec(tw_blk, tw_idx, memory_space=pltpu.VMEM),
@@ -228,12 +282,6 @@ def _rows_kernel(field_name: str, lg: int, rows_pb: int,
         if with_mul:
             in_specs.append(pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM))
             args.append(mul)
-        if out_t:
-            out_blk = limb + (n, rows_pb)
-            out_idx = (lambda i: (0, 0, i)) if nl else (lambda i: (0, i))
-            out_shape = x.shape[:nl] + (n, B)
-        else:
-            out_blk, out_idx, out_shape = blk, idx, x.shape
         return pl.pallas_call(
             kernel,
             grid=grid,
@@ -272,19 +320,37 @@ def _cols_kernel(field_name: str, lg: int, cols_pb: int,
         out_ref[:] = y
 
     def call(x, tw, mul=None):
+        """x: (limb?, B?, n, M) — an optional leading batch dim B (the
+        recursive six-step's outer k1 axis) becomes a second grid dim."""
         M = x.shape[-1]
-        grid = (M // cols_pb,)
-        blk = limb + (n, cols_pb)
-        idx = (lambda i: (0, 0, i)) if nl else (lambda i: (0, i))
-        tw_blk = limb + (max(lg, 1), n)
-        tw_idx = (lambda i: (0, 0, 0)) if nl else (lambda i: (0, 0))
+        batched = x.ndim > nl + 2
+        if batched:
+            B = x.shape[nl]
+            grid = (B, M // cols_pb)
+            blk = limb + (1, n, cols_pb)
+            idx = ((lambda b, j: (0, b, 0, j)) if nl
+                   else (lambda b, j: (b, 0, j)))
+            tw_blk = limb + (max(lg, 1), n)
+            tw_idx = ((lambda b, j: (0, 0, 0)) if nl
+                      else (lambda b, j: (0, 0)))
+            mul_blk = limb + (n, cols_pb)      # mid table has no batch dim
+            mul_idx = ((lambda b, j: (0, 0, j)) if nl
+                       else (lambda b, j: (0, j)))
+        else:
+            grid = (M // cols_pb,)
+            blk = limb + (n, cols_pb)
+            idx = (lambda i: (0, 0, i)) if nl else (lambda i: (0, i))
+            tw_blk = limb + (max(lg, 1), n)
+            tw_idx = (lambda i: (0, 0, 0)) if nl else (lambda i: (0, 0))
+            mul_blk, mul_idx = blk, idx
         in_specs = [
             pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM),
             pl.BlockSpec(tw_blk, tw_idx, memory_space=pltpu.VMEM),
         ]
         args = [x, tw]
         if with_mul:
-            in_specs.append(pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM))
+            in_specs.append(pl.BlockSpec(mul_blk, mul_idx,
+                                         memory_space=pltpu.VMEM))
             args.append(mul)
         return pl.pallas_call(
             kernel,
@@ -321,13 +387,20 @@ def _apply_rows(field_name: str, x, lg: int, table, mul=None,
     and otherwise the transpose falls back to a separate XLA pass."""
     F = get_jax_field(field_name)
     nl = 1 if F.n_limbs else 0
-    B = x.shape[nl]
+    shape_in = x.shape
+    if x.ndim > nl + 3:                  # collapse multi-level outer dims
+        x = x.reshape(shape_in[:nl] + (-1,) + shape_in[-2:])
+    B = x.shape[-2]
     rows_pb = min(_pick_rows(field_name, lg), B)
     while B % rows_pb:
         rows_pb -= 1
     if out_t and rows_pb != B and rows_pb % 128:
         planes = max(F.n_limbs, 1)
         blk_bytes = 128 * (1 << lg) * 4 * planes
+        # NOTE: VMEM (128 MiB on v5e) could hold much larger tiles, but
+        # Mosaic's compile time for the in-kernel (128, 8192) transposed
+        # write explodes past 40 minutes — measured round 3 — so blocks
+        # beyond 2 MiB take the one-extra-HBM-pass XLA transpose instead
         if B % 128 == 0 and blk_bytes <= (2 << 20):
             rows_pb = 128
         else:
@@ -343,8 +416,10 @@ def _apply_rows(field_name: str, x, lg: int, table, mul=None,
 
 
 def _apply_cols(field_name: str, x, lg: int, table, mul=None):
-    """Column NTTs (axis -2) over (.., n, M) in ~2 MiB lane-group blocks."""
+    """Column NTTs (axis -2) over (.., n, M) in ~2 MiB lane-group blocks.
+    Leading batch dims (recursive six-step) collapse into one grid dim."""
     F = get_jax_field(field_name)
+    nl = 1 if F.n_limbs else 0
     M = x.shape[-1]
     planes = max(F.n_limbs, 1)
     col_bytes = (1 << lg) * 4 * planes
@@ -352,6 +427,10 @@ def _apply_cols(field_name: str, x, lg: int, table, mul=None):
     while M % cols_pb:
         cols_pb -= 1
     fn = _cols_kernel(field_name, lg, cols_pb, with_mul=mul is not None)
+    if x.ndim > nl + 3:                  # collapse multi-level batch dims
+        shape = x.shape
+        xf = x.reshape(shape[:nl] + (-1,) + shape[-2:])
+        return fn(xf, table, mul).reshape(shape)
     return fn(x, table, mul)
 
 
@@ -360,17 +439,23 @@ def _apply_cols(field_name: str, x, lg: int, table, mul=None):
 # ---------------------------------------------------------------------------
 
 def _fused_core(field_name: str, x, lg: int, inverse: bool, tables,
-                in_rev: bool = True, out_rev: bool = False):
+                in_rev: bool = True, out_rev: bool = False,
+                scale: bool = True):
     """Natural-in natural-out NTT body (traced inside some jit).  `tables`
-    is (staged_full,) for lg <= LG_TILE or (staged_full(lg1),
-    staged_full(lg2), middle_twiddle_matrix) for the four-step split.
+    is (staged_full,) for lg <= LG_TILE, (staged_full(lg1),
+    staged_full(lg2), middle_twiddle_matrix) for the four-step split, or
+    (staged_full(lg1), mid, *subtables(lg2)) for the recursive
+    (lg > LG_COL_CAP + LG_TILE) six-step split.
 
     For lg <= LG_TILE, `in_rev=False` accepts bit-reversed input and
     `out_rev=True` produces bit-reversed output, both free in VMEM (R*
-    orders without a permutation pass)."""
+    orders without a permutation pass).  `scale=False` suppresses the
+    inverse 1/N factor (recursive sub-transforms: the TOP level owns the
+    single global scale, folded into its middle-twiddle table)."""
     params = get_field(field_name)
     F = get_jax_field(field_name)
-    scale_int = params.domain_size_inverse(lg) if inverse else None
+    scale_int = (params.domain_size_inverse(lg)
+                 if (inverse and scale) else None)
 
     def _scaled(out):
         if scale_int is None:
@@ -386,7 +471,7 @@ def _fused_core(field_name: str, x, lg: int, inverse: bool, tables,
     assert in_rev and not out_rev, \
         "R orders above LG_TILE use standalone bit_reverse passes"
 
-    t1, t2, tmid = tables
+    t1, tmid = tables[0], tables[1]
     lg1 = _split_lg1(lg)
     lg2 = lg - lg1
     n1, n2 = 1 << lg1, 1 << lg2
@@ -395,22 +480,37 @@ def _fused_core(field_name: str, x, lg: int, inverse: bool, tables,
     # kernel steps plus bit-rev passes, ntt/ntt.cuh:100-158):
     #   A: column NTTs along axis -2 (sublane butterflies) produce
     #      B[k1, i2] in place, middle twiddle T[k1, i2] = w^(k1*i2)
-    #      (1/N-scaled for the inverse) multiplied in-kernel;
+    #      (1/N-scaled for the inverse when this level owns the scale)
+    #      multiplied in-kernel;
     #   B: row NTTs along lanes produce D[k1, k2], each tile transposed in
     #      VMEM on write, so the flat result is already X[k1 + N1*k2].
+    # For lg2 > LG_TILE (lg 25+, up to lg 24 + LG_COL_CAP — the role of the
+    # reference's 3/4-way step split to lg 40, ntt/ntt.cuh:118-128), step B
+    # is itself a recursive four-step on the last axis, followed by one
+    # explicit transpose pass (its in-VMEM transposed write already spent
+    # on the inner split).
     a = x.reshape(x.shape[:-1] + (n1, n2))
     c = _apply_cols(field_name, a, lg1, t1, mul=tmid)     # (.., k1, i2)
-    outt = _apply_rows(field_name, c, lg2, t2, out_t=True)  # (.., k2, k1)
+    if lg2 <= LG_TILE:
+        t2 = tables[2]
+        outt = _apply_rows(field_name, c, lg2, t2, out_t=True)  # (.., k2, k1)
+        return outt.reshape(x.shape[:-1] + (n,))
+    d = _fused_core(field_name, c, lg2, inverse, tables[2:],
+                    scale=False)                           # (.., k1, k2)
+    outt = jnp.swapaxes(d, -1, -2)                         # (.., k2, k1)
     return outt.reshape(x.shape[:-1] + (n,))
 
 
+# column length cap: 2^11 keeps column blocks ~2 MiB in VMEM at full
+# 128-lane width
+LG_COL_CAP = 11
+
+
 def _split_lg1(lg: int) -> int:
-    """Four-step split: column length capped at 2^11 (column blocks stay
-    ~2 MiB in VMEM at full 128-lane width), row length at 2^LG_TILE."""
-    lg1 = lg // 2
-    if lg1 > 11:
-        lg1 = lg - LG_TILE
-    return lg1
+    """Split for the four/six-step decomposition: column length capped at
+    2^LG_COL_CAP, row length at 2^LG_TILE; beyond their sum the row side
+    recurses (handled in _fused_core)."""
+    return min(lg // 2, LG_COL_CAP)
 
 
 @functools.lru_cache(maxsize=None)
@@ -426,15 +526,19 @@ def _scaled_mid(field_name: str, lg: int):
     return jax.jit(F.mul)(tmid, scale)
 
 
-def _fused_tables(field_name: str, lg: int, inverse: bool):
+def _fused_tables(field_name: str, lg: int, inverse: bool,
+                  top: bool = True):
     pm = get_parameters(field_name)
     if lg <= LG_TILE:
         return (pm.staged_full_table(lg, inverse),)
     lg1 = _split_lg1(lg)
-    return (pm.staged_full_table(lg1, inverse),
-            pm.staged_full_table(lg - lg1, inverse),
-            _scaled_mid(field_name, lg) if inverse
-            else pm.middle_twiddle_matrix(lg, False))
+    lg2 = lg - lg1
+    mid = (_scaled_mid(field_name, lg) if (inverse and top)
+           else pm.middle_twiddle_matrix(lg, inverse))
+    head = (pm.staged_full_table(lg1, inverse), mid)
+    if lg2 <= LG_TILE:
+        return head + (pm.staged_full_table(lg2, inverse),)
+    return head + _fused_tables(field_name, lg2, inverse, top=False)
 
 
 @functools.lru_cache(maxsize=None)
@@ -520,15 +624,17 @@ def fused_facade_fn(field_name: str, lg: int, order: str, inverse: bool,
 
 
 def use_fused(field_name: str, lg: int) -> bool:
-    """Fused path applies to narrow fields (<= 2 u32 planes: gl64 and the
-    mont32 family) on TPU backends; wide (multi-limb Montgomery) fields and
-    CPU runs go through the generic XLA stages.  SPPARK_FUSED=0/1 forces."""
+    """Fused path applies to every field engine on TPU backends: narrow
+    (gl64/mont32, <= 2 u32 planes) and wide multi-limb Montgomery, whose
+    butterflies inline the list-form mont mul from ff/bigmont.py (the role
+    of the reference's dedicated wide kernels,
+    ntt/kernels/ct_mixed_radix_wide.cu:5-191,
+    gs_mixed_radix_wide.cu:5-181).  CPU runs go through the generic XLA
+    stages.  SPPARK_FUSED=0/1 forces either way."""
     import os
-    F = get_jax_field(field_name)
-    narrow = F.n_limbs <= 2 and lg >= 1
+    if lg < 1:
+        return False
     forced = os.environ.get("SPPARK_FUSED")
     if forced is not None:
-        # forcing can only toggle eligible (narrow) fields — the kernels
-        # have no multi-limb Montgomery path
-        return bool(int(forced)) and narrow
-    return narrow and jax.default_backend() not in ("cpu",)
+        return bool(int(forced))
+    return jax.default_backend() not in ("cpu",)

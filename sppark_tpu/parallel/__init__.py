@@ -13,9 +13,9 @@ device_id (util/all_gpus.cpp:39-63); scaling across a TPU pod instead uses a
              (a few KB) and tree-reduced.
 """
 
-from .mesh import make_mesh, local_mesh
+from .mesh import make_mesh, local_mesh, init_distributed
 from .ntt import ntt_sharded, ntt_matrix_sharded
 from .msm import msm_sharded
 
-__all__ = ["make_mesh", "local_mesh", "ntt_sharded", "ntt_matrix_sharded",
+__all__ = ["make_mesh", "local_mesh", "init_distributed", "ntt_sharded", "ntt_matrix_sharded",
            "msm_sharded"]

@@ -7,6 +7,7 @@ process sees (one slice) or `jax.distributed` gives it (multi-host).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -15,6 +16,44 @@ from jax.sharding import Mesh
 
 
 AXIS = "shards"
+
+_DISTRIBUTED = {"initialized": False}
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host runtime initialization (jax.distributed wrapper).
+
+    The reference has NO multi-device communication design (SURVEY §2.10 —
+    independent GPUs addressed by device_id); this is the sppark-tpu
+    scale-out entry point: call once per host before building meshes, after
+    which `jax.devices()` spans the whole slice/pod and `make_mesh()`
+    produces a global mesh whose collectives ride ICI within a slice and
+    DCN across slices.
+
+    Arguments default from the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID); on TPU
+    pods all three are auto-detected by jax.distributed itself.  Safe to
+    call when single-process (no coordinator configured): it no-ops so the
+    same program runs on one host or many.  Returns the process count.
+    """
+    if _DISTRIBUTED["initialized"]:
+        return jax.process_count()
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    npros = num_processes if num_processes is not None else \
+        int(os.environ.get("JAX_NUM_PROCESSES", 0) or 0)
+    pid = process_id if process_id is not None else \
+        int(os.environ.get("JAX_PROCESS_ID", -1))
+    if addr is None and npros == 0:
+        return 1                      # single-process run: nothing to do
+    kwargs = {}
+    if addr is not None:
+        kwargs = dict(coordinator_address=addr, num_processes=npros,
+                      process_id=max(pid, 0))
+    jax.distributed.initialize(**kwargs)
+    _DISTRIBUTED["initialized"] = True
+    return jax.process_count()
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis: str = AXIS) -> Mesh:

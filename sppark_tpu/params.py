@@ -304,6 +304,27 @@ TEST_GL64_G2 = CurveParams(
     "test_gl64_g2", GOLDILOCKS, TEST_GL64_G2_FR, b=2, fp2=GOLDILOCKS_FP2,
     cofactor=18446744065119617025 * 467443687)
 
+
+# Small big-Montgomery test curve: y^2 = x^3 + 3 over the largest 64-bit
+# prime 2^64 - 59 (L = 4 sixteen-bit limb planes through BigMontField).
+# Not a cryptographic group — it exists so the fused Pallas EC kernels
+# (ec/pallas_ops.py) execute under the Pallas interpreter on GPU-less CI
+# in seconds, where the 256-bit curves' interpreted kernels take tens of
+# minutes of XLA-CPU compile; point-op algebra is representation-exact
+# either way.  cofactor left 1: whole-curve points are fine for point ops.
+TEST_BM64_FP = FieldParams(name="test_bm64_fp", modulus=(1 << 64) - 59,
+                           generator=2)
+TEST_BM64_G1 = CurveParams("test_bm64", TEST_BM64_FP, TEST_GL64_FR, b=3)
+
+# NTT-capable small big-Montgomery test field: 63-bit prime with
+# 2-adicity 32 (p = 0x7FFFFFF9 * 2^32 + 1), L = 4 limb planes — lets
+# the wide-field fused NTT kernels run under the Pallas interpreter
+# on CI at a quarter of the 256-bit fields' graph size.
+TEST_BM64_FR = FieldParams(name="test_bm64_fr",
+                           modulus=0x7FFFFFF900000001,  # 0x7FFFFFF9*2^32+1
+                           generator=3, max_lg_domain=20)
+
+
 # G2 curves: b in Fp2.
 _381_b2 = 4
 BLS12_381_G2 = CurveParams(
@@ -333,7 +354,7 @@ FIELDS = {
     for f in [
         BABY_BEAR, BABY_BEAR_RISC0, MERSENNE31, GOLDILOCKS, GOLDILOCKS_PLONKY2,
         BN254_FR, BN254_FP, BLS12_381_FR, BLS12_381_FP, BLS12_377_FR,
-        BLS12_377_FP, PALLAS_P, VESTA_Q,
+        BLS12_377_FP, PALLAS_P, VESTA_Q, TEST_BM64_FP, TEST_BM64_FR,
     ]
 }
 
@@ -341,7 +362,7 @@ CURVES = {
     c.name: c
     for c in [BN254_G1, BLS12_381_G1, BLS12_377_G1, PALLAS_G1, VESTA_G1,
               BLS12_381_G2, BN254_G2, BLS12_377_G2, TOY_BB31_G1,
-              TEST_GL64_G1, TEST_GL64_G2]
+              TEST_GL64_G1, TEST_GL64_G2, TEST_BM64_G1]
 }
 
 

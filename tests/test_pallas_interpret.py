@@ -113,3 +113,66 @@ def test_fused_four_step_orders_and_coset(rng, monkeypatch):
         # drop executables traced against the patched LG_TILE so later
         # modules don't see them
         _clear()
+
+
+@pytest.mark.parametrize("lg", [1, 5, 9])
+def test_fused_wide_field_vs_oracle(lg, rng):
+    """Wide-field (multi-limb Montgomery) fused butterflies — the role of
+    ct/gs_mixed_radix_wide.cu — with the list-form mont mul inlined in the
+    kernel, vs the big-int oracle.  Runs on the 4-limb test field (the
+    16-limb fields' interpreted kernels take tens of minutes of XLA-CPU
+    compile on CI; a 256-bit case runs at lg 5 below and the TPU bench
+    exercises bls12_381_fr at 2^20)."""
+    fp = params.TEST_BM64_FR
+    F = get_jax_field(fp)
+    n = 1 << lg
+    ints = [rng.randrange(fp.modulus) for _ in range(n)]
+    dev = F.from_int_list(ints)
+    assert F.to_int_list(ntt_fused(fp.name, dev, lg)) == \
+        ontt.ntt_natural(fp, ints)
+    assert F.to_int_list(ntt_fused(fp.name, dev, lg, inverse=True)) == \
+        ontt.intt_natural(fp, ints)
+
+
+def test_fused_wide_256bit_small(rng):
+    """One 256-bit (16-limb) interpreted case at lg 5 — the production
+    field's exact kernel, kept small enough for CI."""
+    fp = params.BLS12_381_FR
+    F = get_jax_field(fp)
+    lg, n = 5, 32
+    ints = [rng.randrange(fp.modulus) for _ in range(n)]
+    dev = F.from_int_list(ints)
+    assert F.to_int_list(ntt_fused(fp.name, dev, lg)) == \
+        ontt.ntt_natural(fp, ints)
+
+
+def test_fused_recursive_six_step(rng, monkeypatch):
+    """lg > LG_COL_CAP + LG_TILE takes the recursive six-step split
+    (role of the reference's 3/4-way step split, ntt/ntt.cuh:118-128):
+    batched column kernels + inner four-step + one transpose pass.  Caps
+    are patched down so multi-level recursion is reachable in interpret
+    mode (production hits this at lg 25-28)."""
+    from sppark_tpu.ntt import pallas_kernels as pk
+
+    def _clear():
+        for f in (pk._rows_kernel, pk._cols_kernel, pk._fused_fn,
+                  pk.fused_facade_fn, pk._scaled_mid):
+            f.cache_clear()
+
+    monkeypatch.setattr(pk, "LG_TILE", 3)
+    monkeypatch.setattr(pk, "LG_COL_CAP", 2)
+    _clear()
+    try:
+        fp = params.GOLDILOCKS
+        F = get_jax_field(fp)
+        for lg in (7, 9):
+            n = 1 << lg
+            ints = [rng.randrange(fp.modulus) for _ in range(n)]
+            dev = F.from_int_list(ints)
+            assert F.to_int_list(ntt_fused(fp.name, dev, lg)) == \
+                ontt.ntt_natural(fp, ints), lg
+            assert F.to_int_list(
+                ntt_fused(fp.name, dev, lg, inverse=True)) == \
+                ontt.intt_natural(fp, ints), lg
+    finally:
+        _clear()
