@@ -22,15 +22,23 @@ import time
 import numpy as np
 
 
+def _backend_started() -> bool:
+    import jax
+    from jax._src import xla_bridge
+    return xla_bridge.backends_are_initialized()
+
+
 def main():
     import jax
 
-    if jax.default_backend() == "cpu":
+    # force the CPU mesh BEFORE any computation: this image pre-imports
+    # jax on the TPU platform, so env vars alone are too late
+    want = max(int(d) for d in os.environ.get(
+        "SPPARK_SCALE_DEVICES", "1,2,4,8").split(","))
+    if len(jax.devices()) < want if _backend_started() else True:
         try:
-            jax.config.update("jax_num_cpu_devices",
-                              max(int(d) for d in os.environ.get(
-                                  "SPPARK_SCALE_DEVICES", "1,2,4,8")
-                                  .split(",")))
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", want)
         except RuntimeError:
             pass
 

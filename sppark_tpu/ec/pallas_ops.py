@@ -39,6 +39,23 @@ def _interpret() -> bool:
     return os.environ.get("SPPARK_PALLAS_INTERPRET") == "1"
 
 
+
+def _pick_rb(R: int) -> int:
+    """Rows per block: Mosaic requires the second-minor block dim be a
+    multiple of 8 or the whole axis."""
+    for cand in range(min(_BLOCK_ROWS, R), 7, -1):
+        if R % cand == 0 and cand % 8 == 0:
+            return cand
+    return R
+
+
+def _pad_lanes(n: int) -> int:
+    """Pad lane count to a 128 granule; large batches pad to 1024 so the
+    row count stays divisible by 8 (see _pick_rb)."""
+    g = 1024 if n > 8192 else 128
+    return -(-n // g) * g
+
+
 def _is_zero_list(xs):
     acc = xs[0]
     for x in xs[1:]:
@@ -74,9 +91,7 @@ def _add_call(curve_name: str, R: int, interpret: bool):
     if curve.a4:
         a4m = fp.to_mont(curve.a4 % fp.modulus)
         A4 = [np.uint32((a4m >> (16 * i)) & 0xFFFF) for i in range(L)]
-    rb = min(_BLOCK_ROWS, R)
-    while R % rb:
-        rb -= 1
+    rb = _pick_rb(R)
 
     def mul(a, b):
         return mul_limbs(a, b, P_LIMBS, M0)
@@ -179,7 +194,7 @@ def fused_xyzz_add(curve_name: str, p, q):
     batch = jnp.broadcast_shapes(*(c.shape[1:] for c in coords))
     coords = [jnp.broadcast_to(c, (L,) + batch) for c in coords]
     n = int(np.prod(batch)) if batch else 1
-    n_pad = -(-n // 128) * 128
+    n_pad = _pad_lanes(n)
     flat = [c.reshape(L, n) for c in coords]
     if n_pad != n:
         flat = [jnp.pad(c, ((0, 0), (0, n_pad - n))) for c in flat]
@@ -205,9 +220,7 @@ def _dbl_call(curve_name: str, R: int, interpret: bool):
     if curve.a4:
         a4m = fp.to_mont(curve.a4 % fp.modulus)
         A4 = [np.uint32((a4m >> (16 * i)) & 0xFFFF) for i in range(L)]
-    rb = min(_BLOCK_ROWS, R)
-    while R % rb:
-        rb -= 1
+    rb = _pick_rb(R)
 
     def kernel(x_r, y_r, zz_r, zzz_r, ox_r, oy_r, ozz_r, ozzz_r):
         X1 = [x_r[i] for i in range(L)]
@@ -264,7 +277,7 @@ def fused_xyzz_dbl(curve_name: str, p):
     L = coords[0].shape[0]
     batch = coords[0].shape[1:]
     n = int(np.prod(batch)) if batch else 1
-    n_pad = -(-n // 128) * 128
+    n_pad = _pad_lanes(n)
     flat = [c.reshape(L, n) for c in coords]
     if n_pad != n:
         flat = [jnp.pad(c, ((0, 0), (0, n_pad - n))) for c in flat]
@@ -290,9 +303,7 @@ def _madd_call(curve_name: str, R: int, interpret: bool):
     if curve.a4:
         a4m = fp.to_mont(curve.a4 % fp.modulus)
         A4 = [np.uint32((a4m >> (16 * i)) & 0xFFFF) for i in range(L)]
-    rb = min(_BLOCK_ROWS, R)
-    while R % rb:
-        rb -= 1
+    rb = _pick_rb(R)
 
     def mul(a, b):
         return mul_limbs(a, b, P_LIMBS, M0)
@@ -401,8 +412,7 @@ def fused_xyzz_madd(curve_name: str, bucket, point):
     L = coords[0].shape[0]
     batch = coords[0].shape[1:]
     n = int(np.prod(batch)) if batch else 1
-    blk = _BLOCK_ROWS * 128
-    n_pad = -(-n // blk) * blk
+    n_pad = _pad_lanes(n)
     flat = [c.reshape(L, n) for c in coords]
     if n_pad != n:
         flat = [jnp.pad(c, ((0, 0), (0, n_pad - n))) for c in flat]

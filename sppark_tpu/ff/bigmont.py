@@ -210,10 +210,16 @@ class BigMontField(BaseField):
 
     # -- Pallas elementwise dispatch -------------------------------------------
     def _use_pallas(self, n_lanes: int) -> bool:
-        if n_lanes < 1024:
+        if n_lanes == 0:
+            # associative_scan recursion produces zero-length operands
             return False
         if _interpret():
-            return True
+            # interpreter runs are CI correctness checks: route only
+            # batch-sized ops through the (slow) interpreted kernel
+            return n_lanes >= 1024
+        # on real TPU the kernel wins at EVERY size: a serial Fermat chain
+        # of (L, nwins)-shaped muls costs ~5200 tiny XLA ops per step vs
+        # one ~5 us pallas call
         return jax.default_backend() not in ("cpu",)
 
     def _pallas_ew(self, kind: str, *args):
@@ -224,8 +230,12 @@ class BigMontField(BaseField):
         batch = jnp.broadcast_shapes(*(a.shape[1:] for a in args))
         args = [jnp.broadcast_to(a, (L,) + batch) for a in args]
         n = int(np.prod(batch)) if batch else 1
-        blk = _BLOCK_ROWS * 128
-        n_pad = -(-n // blk) * blk
+        # pad to the 128-lane granule only — tiny ops (Fermat chains on
+        # (nwins,)-sized tensors) shouldn't inflate to a full block; large
+        # batches pad to 1024 lanes so the row count divides by 8 (Mosaic
+        # block constraint)
+        g = 1024 if n > 8192 else 128
+        n_pad = -(-n // g) * g
         flat = [a.reshape(L, n) for a in args]
         if n_pad != n:
             flat = [jnp.pad(a, ((0, 0), (0, n_pad - n))) for a in flat]
@@ -261,16 +271,54 @@ class BigMontField(BaseField):
         n = int(np.prod(batch)) if batch else 1
         if self._use_pallas(n):
             return self._pallas_ew("mul", x, y)
-        return self._stack(mul_limbs(self._unstack(x),
-                                     [y[i] for i in range(self.L)],
-                                     self.P_LIMBS, self.M0))
+        return self._mul_xla(x, y)
 
     def sqr(self, x):
         """Dedicated squaring (wide_t(a) squaring, ff/mont_t.cuh:146-193)."""
         n = int(np.prod(x.shape[1:])) if x.ndim > 1 else 1
         if self._use_pallas(n):
             return self._pallas_ew("sqr", x)
-        return self._stack(sqr_limbs(self._unstack(x), self.P_LIMBS, self.M0))
+        return self._mul_xla(x, x)
+
+    def _mul_xla(self, x, y):
+        """Compile-friendly XLA form (CPU tests / tiny batches): the same
+        schoolbook + interleaved-REDC math, but as L slice-adds on a
+        stacked (2L, *batch) accumulator instead of unrolled per-limb
+        dataflow — the flat ~L^2-op graph takes MINUTES through XLA-CPU's
+        emitter at L=24, the O(L)-op dynamic-slice graph compiles in
+        seconds.  The Pallas/Mosaic path (above) prefers the flat form."""
+        L = self.L
+        batch = jnp.broadcast_shapes(x.shape[1:], y.shape[1:])
+        acc = jnp.zeros((2 * L,) + batch, _U32)
+        zrow = jnp.zeros((1,) + batch, _U32)
+        # schoolbook product: row i of x against all of y
+        for i in range(L):
+            prod = x[i][None] * y             # (L, *batch) u32, exact
+            contrib = (jnp.concatenate([prod & _MASK16, zrow])
+                       + jnp.concatenate([zrow, prod >> 16]))
+            acc = jax.lax.dynamic_update_slice_in_dim(
+                acc, jax.lax.dynamic_slice_in_dim(acc, i, L + 1) + contrib,
+                i, axis=0)
+        # interleaved Montgomery reduction
+        carry = jnp.zeros(batch, _U32)
+        pl_b = jnp.asarray(self.P_LIMBS).reshape((L,) + (1,) * len(batch))
+        for i in range(L):
+            v = acc[i] + carry
+            m = (v * self.M0) & _MASK16
+            prod = pl_b * m[None]             # (L, *batch) u32, exact
+            lo = prod & _MASK16
+            hi = prod >> 16
+            carry = (v + lo[0]) >> 16
+            contrib = (jnp.concatenate([lo[1:], hi[L - 1:]])
+                       + jnp.concatenate([hi[:L - 1], zrow]))
+            acc = jax.lax.dynamic_update_slice_in_dim(
+                acc, jax.lax.dynamic_slice_in_dim(acc, i + 1, L) + contrib,
+                i + 1, axis=0)
+        # normalize the top half + the running carry
+        top = [acc[L] + carry] + [acc[L + j] for j in range(1, L)]
+        planes, carry_out = norm_limbs(top)
+        return self._stack(cond_sub_p(planes, self.P_LIMBS,
+                                      force=carry_out))
 
     # -- Montgomery domain -----------------------------------------------------------
     def to_mont(self, x):
@@ -340,9 +388,11 @@ def _ew_call_cached(field_name: str, L: int, kind: str, n_in: int, R: int,
         [(params.modulus >> (16 * i)) & 0xFFFF for i in range(L)],
         dtype=np.uint32)
     M0 = np.uint32(params.m0(16))
-    rb = min(_BLOCK_ROWS, R)
-    while R % rb:
-        rb -= 1
+    rb = R
+    for cand in range(min(_BLOCK_ROWS, R), 7, -1):
+        if R % cand == 0 and cand % 8 == 0:
+            rb = cand
+            break
 
     def kernel(*refs):
         out_ref = refs[-1]

@@ -426,6 +426,11 @@ def _apply_cols(field_name: str, x, lg: int, table, mul=None):
     cols_pb = min(128, M, max(1, (1 << 21) // col_bytes))
     while M % cols_pb:
         cols_pb -= 1
+    if cols_pb % 128 and cols_pb != M:
+        # Mosaic: last block dim must be a 128 multiple or the whole axis.
+        # Wide fields land here (fat columns shrink the budgeted width);
+        # a 128-lane block is the only legal sub-block, VMEM allowing.
+        cols_pb = min(128, M)
     fn = _cols_kernel(field_name, lg, cols_pb, with_mul=mul is not None)
     if x.ndim > nl + 3:                  # collapse multi-level batch dims
         shape = x.shape
@@ -462,7 +467,7 @@ def _fused_core(field_name: str, x, lg: int, inverse: bool, tables,
             return out
         return F.mul(out, F.const(scale_int, batch_shape=(1,)))
 
-    if lg <= LG_TILE:
+    if lg <= _tile_cap(field_name):
         (table,) = tables
         xr = x.reshape(x.shape[:-1] + (1, 1 << lg))
         out = _apply_rows(field_name, xr, lg, table, in_rev=in_rev,
@@ -472,7 +477,7 @@ def _fused_core(field_name: str, x, lg: int, inverse: bool, tables,
         "R orders above LG_TILE use standalone bit_reverse passes"
 
     t1, tmid = tables[0], tables[1]
-    lg1 = _split_lg1(lg)
+    lg1 = _split_lg1(lg, field_name)
     lg2 = lg - lg1
     n1, n2 = 1 << lg1, 1 << lg2
     n = 1 << lg
@@ -491,7 +496,7 @@ def _fused_core(field_name: str, x, lg: int, inverse: bool, tables,
     # on the inner split).
     a = x.reshape(x.shape[:-1] + (n1, n2))
     c = _apply_cols(field_name, a, lg1, t1, mul=tmid)     # (.., k1, i2)
-    if lg2 <= LG_TILE:
+    if lg2 <= _tile_cap(field_name):
         t2 = tables[2]
         outt = _apply_rows(field_name, c, lg2, t2, out_t=True)  # (.., k2, k1)
         return outt.reshape(x.shape[:-1] + (n,))
@@ -504,13 +509,28 @@ def _fused_core(field_name: str, x, lg: int, inverse: bool, tables,
 # column length cap: 2^11 keeps column blocks ~2 MiB in VMEM at full
 # 128-lane width
 LG_COL_CAP = 11
+# wide (multi-limb Montgomery) fields: kernel graph size scales with
+# L^2 * stages, and the remote Mosaic compiler falls over past ~25K ops —
+# smaller tiles trade one more pass for compilability
+LG_COL_CAP_WIDE = 8
+LG_TILE_WIDE = 10
 
 
-def _split_lg1(lg: int) -> int:
+def _is_wide(field_name: str) -> bool:
+    return get_jax_field(field_name).n_limbs > 2
+
+
+def _tile_cap(field_name: str) -> int:
+    return LG_TILE_WIDE if _is_wide(field_name) else LG_TILE
+
+
+def _split_lg1(lg: int, field_name: str = "") -> int:
     """Split for the four/six-step decomposition: column length capped at
-    2^LG_COL_CAP, row length at 2^LG_TILE; beyond their sum the row side
-    recurses (handled in _fused_core)."""
-    return min(lg // 2, LG_COL_CAP)
+    2^LG_COL_CAP (less for wide fields), row length at 2^LG_TILE; beyond
+    their sum the row side recurses (handled in _fused_core)."""
+    cap = LG_COL_CAP_WIDE if (field_name and _is_wide(field_name)) \
+        else LG_COL_CAP
+    return min(lg // 2, cap)
 
 
 @functools.lru_cache(maxsize=None)
@@ -521,7 +541,8 @@ def _scaled_mid(field_name: str, lg: int):
     params = get_field(field_name)
     F = get_jax_field(field_name)
     pm = get_parameters(field_name)
-    tmid = pm.middle_twiddle_matrix(lg, True)
+    tmid = pm.middle_twiddle_matrix(lg, True,
+                                    _split_lg1(lg, field_name))
     scale = F.const(params.domain_size_inverse(lg), batch_shape=(1, 1))
     return jax.jit(F.mul)(tmid, scale)
 
@@ -529,14 +550,14 @@ def _scaled_mid(field_name: str, lg: int):
 def _fused_tables(field_name: str, lg: int, inverse: bool,
                   top: bool = True):
     pm = get_parameters(field_name)
-    if lg <= LG_TILE:
+    if lg <= _tile_cap(field_name):
         return (pm.staged_full_table(lg, inverse),)
-    lg1 = _split_lg1(lg)
+    lg1 = _split_lg1(lg, field_name)
     lg2 = lg - lg1
     mid = (_scaled_mid(field_name, lg) if (inverse and top)
-           else pm.middle_twiddle_matrix(lg, inverse))
+           else pm.middle_twiddle_matrix(lg, inverse, lg1))
     head = (pm.staged_full_table(lg1, inverse), mid)
-    if lg2 <= LG_TILE:
+    if lg2 <= _tile_cap(field_name):
         return head + (pm.staged_full_table(lg2, inverse),)
     return head + _fused_tables(field_name, lg2, inverse, top=False)
 
@@ -567,7 +588,8 @@ def coset_shift_bitrev(field_name: str, lg: int, order: str,
     asserts against it — the two can't drift."""
     if not inverse:
         return order[0] == "R"
-    return use_fused(field_name, lg) and lg <= LG_TILE and order[1] == "R"
+    return (use_fused(field_name, lg) and lg <= _tile_cap(field_name)
+            and order[1] == "R")
 
 
 @functools.lru_cache(maxsize=None)
@@ -586,7 +608,7 @@ def fused_facade_fn(field_name: str, lg: int, order: str, inverse: bool,
     Coset shift tables arrive already layout-matched from base_dev
     (bit-reversed when they multiply a bit-reversed-layout array)."""
     F = get_jax_field(field_name)
-    single = lg <= LG_TILE
+    single = lg <= _tile_cap(field_name)
     in_r = order[0] == "R"
     out_r = order[1] == "R"
     if coset:

@@ -128,7 +128,7 @@ class NTTParameters:
         path; this builds in milliseconds)."""
         if not lg1:
             from .pallas_kernels import _split_lg1
-            lg1 = _split_lg1(lg_domain)
+            lg1 = _split_lg1(lg_domain, self.params.name)
         key = ("mid", inverse, lg_domain, lg1)
         if key not in self._power_tables:
             root = (self.params.inv_root_of_unity(lg_domain) if inverse
