@@ -1,9 +1,16 @@
-"""Headline benchmark: Goldilocks NTT 2^24 + BLS12-381 MSM, per chip.
+"""Headline benchmark: Goldilocks NTT 2^24 + the BASELINE contract sizes.
 
 Prints ONE JSON line with the driver contract keys
 {"metric", "value", "unit", "vs_baseline"} for the headline NTT number,
-plus an "extras" list carrying the MSM metric (BENCH config 4) measured in
-the same run.
+plus an "extras" list carrying the BASELINE.md configs measured in the same
+run, each with a `verified` flag recording an on-chip correctness check:
+
+  * gl64 coset LDE 2^24 blowup 4 (config 2)   — verified: iNTT(coset^-1)
+    round-trip of the low domain + oracle differential at 2^14
+  * Pasta MSM 2^20 (config 3)                 — verified: small-n oracle
+    differential + full-n scaling identity MSM(k*s) == k*MSM(s)
+  * BLS12-381 MSM 2^24 (config 4)             — same protocol
+  * BLS12-381 MSM 2^20                        — round-over-round continuity
 
 Baselines (BASELINE.md: the reference publishes NO numbers, so these are
 stated estimates, not sppark measurements):
@@ -14,8 +21,7 @@ stated estimates, not sppark measurements):
   butterfly arithmetic we take A100_NTT = 2.5e11 butterflies/s.  For
   scale: this v5e's own ceilings are ~2.1e11 (HBM: 2 passes at ~70% of
   819 GB/s) and ~4e10 (VPU: ~55 int32 lane-ops per butterfly at ~2
-  ops/cycle/lane) — the VPU bound binds first; vs_baseline ~0.16 is the
-  speed-of-light for this chip without MXU-based butterflies.
+  ops/cycle/lane) — the VPU bound binds first.
 * MSM — published A100 sppark-class BLS12-381 2^23-24 MSMs land around
   100-140 ms => ~1.2e8 points/s; we take A100_MSM = 1.0e8 points/s.
   BASELINE's bar is "within 2x of A100 per chip" (vs_baseline >= 0.5).
@@ -23,7 +29,8 @@ stated estimates, not sppark measurements):
 Env knobs: SPPARK_BENCH_LG (default 24 on TPU, 16 elsewhere),
 SPPARK_BENCH_FIELD (default goldilocks), SPPARK_BENCH_REPS (default 5),
 SPPARK_BENCH_MSM (default 1 on TPU; 0 skips), SPPARK_BENCH_MSM_LG
-(default 20), SPPARK_BENCH_MSM_CURVE (default bls12_381).
+(default 20), SPPARK_BENCH_MSM_CURVE (default bls12_381),
+SPPARK_BENCH_CONTRACT (default 1 on TPU: run the BASELINE configs).
 """
 
 import json
@@ -50,6 +57,14 @@ def _enable_compile_cache():
         pass
 
 
+def _fence(arr):
+    """Force execution to completion: fetch one element to the host
+    (block_until_ready alone does not fence remote-tunnel backends)."""
+    import jax
+    return np.asarray(jax.device_get(
+        arr[(0,) * (arr.ndim - 1) + (slice(0, 1),)]))
+
+
 def bench_ntt(backend):
     import jax
     from sppark_tpu.params import get_field
@@ -73,14 +88,8 @@ def bench_ntt(backend):
     x = F.from_wire_np(np.asarray(wire))
     x = jax.device_put(x)
 
-    def fence(arr):
-        """Force execution to completion: fetch one element to the host
-        (block_until_ready alone does not fence remote-tunnel backends)."""
-        return np.asarray(jax.device_get(
-            arr[(0,) * (arr.ndim - 1) + (slice(0, 1),)]))
-
     out = base_dev(field, x, lg)     # warm-up / compile
-    fence(out)
+    _fence(out)
 
     # time a dependent chain (each NTT consumes the previous result) so no
     # layer — XLA, the runtime, or a remote-execution cache — can reuse a
@@ -92,7 +101,7 @@ def bench_ntt(backend):
         t0 = time.perf_counter()
         for _ in range(chain):
             y = base_dev(field, y, lg)
-        fence(y)
+        _fence(y)
         times.append((time.perf_counter() - t0) / chain)
         out = y
     dt = min(times)
@@ -106,23 +115,91 @@ def bench_ntt(backend):
     }
 
 
-def bench_msm(backend):
+def bench_lde(backend, lg=24, lg_blowup=2):
+    """BASELINE config 2: gl64 coset LDE 2^lg with blowup 4 (factor;
+    lg_blowup = 2).  verified = on-chip iNTT/coset-unshift round-trip of
+    the low domain + an oracle differential at 2^14."""
+    import jax
+    import jax.numpy as jnp
+    from sppark_tpu.params import get_field
+    from sppark_tpu.ff import get_jax_field
+    from sppark_tpu.ntt import (lde_dev, base_dev, InputOutputOrder,
+                                Direction, Type)
+
+    field = "goldilocks"
+    params = get_field(field)
+    F = get_jax_field(field)
+    n = 1 << lg
+    rng = np.random.default_rng(7)
+    wire = rng.integers(0, params.modulus, size=n, dtype=np.uint64)
+    x = jax.device_put(F.from_wire_np(wire))
+
+    ext = lde_dev(field, x, lg, lg_blowup)        # warm-up / compile
+    _fence(ext)
+
+    # verification 1: oracle differential at 2^14 (exact bigint LDE)
+    from sppark_tpu.oracle.ntt import lde as lde_oracle
+    lg_s = 14
+    small = wire[: 1 << lg_s]
+    ext_s = lde_dev(field, jax.device_put(F.from_wire_np(small)), lg_s,
+                    lg_blowup)
+    got_s = [int(v) for v in F.to_wire_np(ext_s)]
+    want_s = lde_oracle(params, [int(v) for v in small], lg_blowup)
+    verified = got_s == want_s
+
+    # verification 2: full-size round trip — the extension evaluated back
+    # on the original domain: coset_iNTT(ext)[::blowup... ] equals x is
+    # costly; instead check iNTT(coset shift^-1 * NTT^-1 path) via the
+    # inverse coset transform of ext truncated to degree < n
+    inv = base_dev(field, ext, lg + lg_blowup,
+                   order=InputOutputOrder.NN, direction=Direction.inverse,
+                   ntt_type=Type.coset)
+    low = jax.lax.slice_in_dim(inv, 0, n, axis=-1)
+    high = jax.lax.slice_in_dim(inv, n, 1 << (lg + lg_blowup), axis=-1)
+    back = base_dev(field, low, lg)
+    rt_ok = bool(jnp.array_equal(back, x)) and \
+        bool(jnp.all(high == 0))
+    verified = bool(verified and rt_ok)
+
+    reps = int(os.environ.get("SPPARK_BENCH_LDE_REPS", 3))
+    times = []
+    y = x
+    for r in range(reps):
+        y = jax.device_put(y)
+        t0 = time.perf_counter()
+        e = lde_dev(field, y, lg, lg_blowup)
+        _fence(e)
+        times.append(time.perf_counter() - t0)
+        # feed back the low slice so no run can be cached
+        y = jax.lax.slice_in_dim(e, 0, n, axis=-1)
+    dt = min(times)
+    # ops: iNTT(n) + forward NTT(n * blowup)
+    lg_e = lg + lg_blowup
+    bf = (n // 2) * lg + ((1 << lg_e) // 2) * lg_e
+    return {
+        "metric": f"goldilocks coset LDE 2^{lg} blowup {1 << lg_blowup} "
+                  f"({backend})",
+        "value": round(bf / dt, 1),
+        "unit": "butterflies/s",
+        "vs_baseline": round(bf / dt / A100_NTT_BUTTERFLIES_PER_S, 4),
+        "lde_ms": round(dt * 1e3, 3),
+        "verified": verified,
+    }
+
+
+def _msm_setup(curve, lg):
     import random
     import jax
     import jax.numpy as jnp
     from sppark_tpu.params import get_curve
-    from sppark_tpu.msm.pippenger import MSMContext
     from sppark_tpu.oracle.ec import get_oracle
     from sppark_tpu.ec import get_curve_ops
 
-    curve = os.environ.get("SPPARK_BENCH_MSM_CURVE", "bls12_381")
-    lg = int(os.environ.get("SPPARK_BENCH_MSM_LG", 20))
     n = 1 << lg
     cp = get_curve(curve)
     o = get_oracle(cp)
     rng = random.Random(42)
     ops = get_curve_ops(cp.name)
-
     # reference bench protocol: 2^11 distinct random points cloned up to n
     # ON DEVICE, infinity planted at 3 (poc/msm-cuda/src/util.rs:13-38)
     nbase = 1 << min(lg, 11)
@@ -132,8 +209,43 @@ def bench_msm(backend):
                    for c in (bx, by))
     if n > 3:
         points = tuple(c.at[..., 3].set(0) for c in points)
+        base_pts = [base[i % nbase] for i in range(n)]
+        from sppark_tpu.oracle.ec import AffinePoint
+        base_pts[3] = AffinePoint(0, 0, True)
+    else:
+        base_pts = [base[i % nbase] for i in range(n)]
+    return cp, o, ops, points, base_pts
 
-    ctx = MSMContext(curve, n)
+
+def _msm_verify(curve, lg_small=10):
+    """Small-n oracle differential on the same pipeline configuration."""
+    import random
+    from sppark_tpu.msm.pippenger import MSMContext
+    from sppark_tpu.oracle.msm import msm_naive
+
+    cp, o, ops, points, base_pts = _msm_setup(curve, lg_small)
+    rng = random.Random(3)
+    scalars = [rng.randrange(cp.scalar.modulus) for _ in range(1 << lg_small)]
+    scalars[0] = 0
+    scalars[1] = cp.scalar.modulus - 1
+    ctx = MSMContext(curve, 1 << lg_small)
+    got = ctx.invoke(scalars, points=points)
+    want = msm_naive(cp, base_pts, scalars)
+    return (got.x, got.y, got.inf) == (want.x, want.y, want.inf)
+
+
+def bench_msm(backend, curve=None, lg=None, chunk_lg=22, verify_full=True):
+    import jax
+    import jax.numpy as jnp
+    from sppark_tpu.msm.pippenger import MSMContext
+
+    curve = curve or os.environ.get("SPPARK_BENCH_MSM_CURVE", "bls12_381")
+    lg = lg or int(os.environ.get("SPPARK_BENCH_MSM_LG", 20))
+    n = 1 << lg
+    cp, o, ops, points, _ = _msm_setup(curve, lg)
+
+    chunk = min(n, 1 << chunk_lg)
+    ctx = MSMContext(curve, n, chunk=chunk if chunk < n else 0)
     ctx.set_points(points)
     nprng = np.random.default_rng(42)
     words = nprng.integers(0, 1 << 32, size=(ctx.n_words, n),
@@ -142,6 +254,19 @@ def bench_msm(backend):
     words[-1] %= np.uint32(max(top, 1))
 
     ctx.invoke(words)                 # warm-up / compile
+    verified = _msm_verify(curve)
+    if verify_full:
+        # full-n scaling identity: MSM(k * s) == k * MSM(s) for a scalar k
+        # (exercises the production size end to end; the compare runs on
+        # exact host integers via the oracle)
+        k = 0xA5A5A5A5
+        r1 = ctx.invoke(words)
+        words_k = _scalar_scale(words, k, cp.scalar.modulus)
+        r2 = ctx.invoke(words_k)
+        want = o.jacobian_to_affine(o.scalar_mul(r1, k))
+        verified = verified and (
+            (r2.x, r2.y, r2.inf) == (want.x, want.y, want.inf))
+
     reps = int(os.environ.get("SPPARK_BENCH_MSM_REPS", 2))
     times = []
     for r in range(reps):
@@ -164,7 +289,22 @@ def bench_msm(backend):
         "unit": "points/s",
         "vs_baseline": round(rate / A100_MSM_POINTS_PER_S, 4),
         "msm_s": round(dt, 3),
+        "verified": bool(verified),
     }
+
+
+def _scalar_scale(words, k, order):
+    """Host-side (n_words, n) scalar array scaled by k mod order."""
+    n_words, n = words.shape
+    out = np.empty_like(words)
+    vals = np.zeros(n, dtype=object)
+    for i in reversed(range(n_words)):
+        vals = (vals << 32) | words[i].astype(object)
+    vals = (vals * k) % order
+    for i in range(n_words):
+        out[i] = (vals & 0xFFFFFFFF).astype(np.uint64).astype(np.uint32)
+        vals >>= 32
+    return out
 
 
 def main():
@@ -173,12 +313,29 @@ def main():
     backend = jax.default_backend()
     result = bench_ntt(backend)
     on_tpu = backend not in ("cpu",)
+    extras = []
     run_msm = int(os.environ.get("SPPARK_BENCH_MSM", 1 if on_tpu else 0))
+    run_contract = int(os.environ.get("SPPARK_BENCH_CONTRACT",
+                                      1 if on_tpu else 0))
     if run_msm:
         try:
-            result["extras"] = [bench_msm(backend)]
-        except Exception as e:           # MSM failure must not mask the NTT line
-            result["extras"] = [{"metric": "msm", "error": repr(e)[:200]}]
+            extras.append(bench_msm(backend))
+        except Exception as e:        # a failure must not mask the NTT line
+            extras.append({"metric": "msm 2^20", "error": repr(e)[:200]})
+    if run_contract:
+        for label, fn in (
+            ("lde config2", lambda: bench_lde(backend)),
+            ("pasta msm config3",
+             lambda: bench_msm(backend, curve="pallas", lg=20)),
+            ("bls12-381 msm config4",
+             lambda: bench_msm(backend, curve="bls12_381", lg=24)),
+        ):
+            try:
+                extras.append(fn())
+            except Exception as e:
+                extras.append({"metric": label, "error": repr(e)[:200]})
+    if extras:
+        result["extras"] = extras
     print(json.dumps(result))
 
 

@@ -27,6 +27,8 @@ __all__ = [
 
 @functools.lru_cache(maxsize=None)
 def _build(params: FieldParams) -> BaseField:
+    if params.engine == "bigmont":
+        return BigMontField(params)
     if params.name.startswith("mersenne31"):
         return Mersenne31Field(params)
     if params.modulus == (1 << 64) - (1 << 32) + 1:

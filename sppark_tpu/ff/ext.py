@@ -186,13 +186,20 @@ class BabyBear4Field:
     def inv(self, a):
         """Via the quadratic subfield F_p[y]/(y^2 - BETA):
         a = A + B x with A = c0 + c2 y, B = c1 + c3 y, x^2 = y.
-        N(a) = A^2 - y B^2 lives in the subfield; invert there, then
-        a^-1 = (A - Bx) * N^-1."""
+        N(a) = A^2 - y B^2 lives in the subfield; invert there (conj/norm
+        with the final norm in F_p), then a^-1 = (A - Bx) * N^-1."""
+        A, B, N, norm, sub_mul = self._norm_chain(a)
+        ninv = self.base.inv(norm)
+        return self._finish_inv(A, B, N, ninv, sub_mul)
+
+    def _norm_chain(self, a):
+        """a -> (A, B, N, norm): subfield decomposition, subfield norm N,
+        and the prime-field norm of N (shared by inv / batch_inv)."""
         F = self.base
         beta = self._beta(a[0])
         c0, c1, c2, c3 = a
 
-        def sub_mul(p, q):  # multiply (p0 + p1 y)(q0 + q1 y) in subfield
+        def sub_mul(p, q):
             r0 = F.add(F.mul(p[0], q[0]), F.mul(beta, F.mul(p[1], q[1])))
             r1 = F.add(F.mul(p[0], q[1]), F.mul(p[1], q[0]))
             return (r0, r1)
@@ -201,15 +208,34 @@ class BabyBear4Field:
         B = (c1, c3)
         A2 = sub_mul(A, A)
         B2 = sub_mul(B, B)
-        yB2 = (F.mul(beta, B2[1]), B2[0])        # y * (b0 + b1 y)
+        yB2 = (F.mul(beta, B2[1]), B2[0])
         N = (F.sub(A2[0], yB2[0]), F.sub(A2[1], yB2[1]))
-        # invert N = n0 + n1 y in subfield: conj/norm with norm in F_p
         norm = F.sub(F.mul(N[0], N[0]), F.mul(beta, F.mul(N[1], N[1])))
-        ninv = F.inv(norm)
+        return A, B, N, norm, sub_mul
+
+    def _finish_inv(self, A, B, N, ninv, sub_mul):
+        F = self.base
         Ninv = (F.mul(N[0], ninv), F.neg(F.mul(N[1], ninv)))
         Ai = sub_mul(A, Ninv)
         Bi = sub_mul(B, Ninv)
         return (Ai[0], F.neg(Bi[0]), Ai[1], F.neg(Bi[1]))
+
+    def batch_inv(self, a, axis=-1):
+        """Batched extension inversion: ONE prime-field batch inversion
+        (Montgomery's trick) serves the whole bb31_4 batch through the
+        norm tower — the role of the reference's batched extension
+        inversion reusing scalar batch_inversion
+        (ff/baby_bear.hpp:602-633).  Zero-tolerant: zero inputs yield
+        zero outputs (batch_inv maps the zero norm to zero)."""
+        A, B, N, norm, sub_mul = self._norm_chain(a)
+        ninv = self.base.batch_inv(norm, axis=axis)
+        return self._finish_inv(A, B, N, ninv, sub_mul)
+
+    def batch_inv_tree(self, a):
+        """Product-tree form (power-of-two last axis, non-zero inputs)."""
+        A, B, N, norm, sub_mul = self._norm_chain(a)
+        ninv = self.base.batch_inv_tree(norm)
+        return self._finish_inv(A, B, N, ninv, sub_mul)
 
     def from_int_list(self, values, batch_shape=None):
         return tuple(self.base.from_int_list([v[i] for v in values],

@@ -140,23 +140,50 @@ class MSMContext:
             words = jnp.asarray(_scalar_words_from_ints(
                 scalars, self.curve.scalar.modulus, self.n_words))
         n = words.shape[1]
+        # host-streaming: numpy point arrays stay on host and upload per
+        # chunk (double-buffered), so point sets larger than HBM work —
+        # the role of the staged-upload stream pipeline
+        # (msm/pippenger.cuh:454-459, 496-556)
+        host_pts = all(isinstance(a, np.ndarray)
+                       for a in jax.tree.leaves(pts_dev))
         if n <= self.chunk:
+            if host_pts:
+                pts_dev = jax.tree.map(
+                    lambda a: jax.device_put(jnp.asarray(a)), pts_dev)
             wx, wy = self._fn(words, pts_dev)
             return self._collect(wx, wy)
         # chunked path: window sums are linear in the point set, so chunks
         # combine with one (nwins,)-lane xyzz_add each — zero-padded tail
         # chunks are harmless (zero scalars land in no bucket)
+        def chunk_pts(lo):
+            hi = min(lo + self.chunk, n)
+
+            def cut(a):
+                c = a[..., lo:hi]
+                if hi - lo < self.chunk:
+                    pad = ((0, 0),) * (a.ndim - 1) + ((0, self.chunk
+                                                       - (hi - lo)),)
+                    c = (np.pad(c, pad, mode="edge") if host_pts
+                         else jnp.pad(c, pad, mode="edge"))
+                if host_pts:
+                    # async upload: returns immediately, transfer overlaps
+                    # the previous chunk's compute (XLA async dispatch in
+                    # place of the reference's flip-flop streams)
+                    c = jax.device_put(jnp.asarray(c))
+                return c
+            return jax.tree.map(cut, pts_dev)
+
         total = None
-        for lo in range(0, n, self.chunk):
+        starts = list(range(0, n, self.chunk))
+        nxt = chunk_pts(starts[0])
+        for i, lo in enumerate(starts):
             hi = min(lo + self.chunk, n)
             w = words[:, lo:hi]
-            pts = jax.tree.map(lambda a: a[..., lo:hi], pts_dev)
             if hi - lo < self.chunk:
-                pad = self.chunk - (hi - lo)
-                w = jnp.pad(w, ((0, 0), (0, pad)))
-                pts = jax.tree.map(
-                    lambda a: jnp.pad(a, ((0, 0),) * (a.ndim - 1)
-                                      + ((0, pad),), mode="edge"), pts)
+                w = jnp.pad(w, ((0, 0), (0, self.chunk - (hi - lo))))
+            pts = nxt
+            if i + 1 < len(starts):
+                nxt = chunk_pts(starts[i + 1])   # stage while computing
             win = self._fn.window_sums(w, pts)
             if total is None:
                 total = win
@@ -211,45 +238,121 @@ class MSMStages:
 
 @functools.lru_cache(maxsize=None)
 def _pipeline(curve_name: str, wbits: int, nwins: int, n_words: int,
-              mode: str = "auto") -> MSMStages:
+              mode: str = "auto"):
+    if mode in ("auto", "tree"):
+        return MSMTreeStages(curve_name, wbits, nwins, n_words)
     return MSMStages(*(jax.jit(f) for f in
                        _stage_bodies(curve_name, wbits, nwins, n_words,
                                      mode)))
 
 
 @functools.lru_cache(maxsize=None)
-def _stage_bodies(curve_name: str, wbits: int, nwins: int, n_words: int,
-                  mode: str = "auto"):
-    """Un-jitted phase bodies (schedule, accumulate, integrate, to_affine).
-    The sharded MSM wraps each in shard_map (parallel/msm.py); the
-    single-chip path jits each directly.
+def _tree_acc_jit(curve_name: str, m0: int, lmax: int, fused: bool):
+    from .tree import make_tree_accumulate
+    return jax.jit(make_tree_accumulate(curve_name, m0, lmax, fused))
 
-    mode: "xyzz" (unified xyzz madd — the measured-fastest mode on TPU and
-    the "auto" default), "affine" (batch-affine buckets; available for G1
-    and G2 via batch_inv_tree, but its per-round Fermat root inversion is a
-    ~500-serial-mul latency bubble that the VPU cannot hide, measured ~5x
-    slower than xyzz on a v5e — kept for cross-checking)."""
-    curve = get_curve(curve_name)
-    ops = get_curve_ops(curve_name)
-    if mode == "auto":
-        mode = "xyzz"
-    order = curve.scalar.modulus
-    nbuckets = 1 << (wbits - 1)
-    # -- top-window sub-bucket spreading ------------------------------------
-    # The top window's digit range is tiny (scalars fold to <= order/2, so
-    # its magnitudes are <= order/2 >> (nwins-1)*wbits, plus a carry): all
-    # n points land in a handful of buckets, and since the accumulate
-    # round count is the MAX bucket occupancy, it would be ~n/top_span
-    # instead of ~n/nbuckets — a measured 30x round blow-up at 2^16.  The
-    # reference's work-stealing accumulate absorbs this with more threads
-    # per window (msm/pippenger.cuh:157-176); the TPU analogue: spread the
-    # top window's digit d across k = nbuckets/span replica slots
-    # d + (i mod k)*span, and fold the replicas with lg(k) xyzz adds
-    # before integrate.  Occupancy becomes uniform across the full bucket
-    # axis again.
+
+@functools.lru_cache(maxsize=None)
+def _tree_rows_jit(curve_name: str):
+    """Point coords -> row-major (n, planes) staging for the tree's one
+    row-gather per window (point-major form; see msm/tree.py).  G2 fp2
+    coefficient pairs flatten in jax.tree leaf order (px0, px1, py0,
+    py1)."""
+    def rows(px, py):
+        return jnp.concatenate(jax.tree.leaves((px, py)), axis=0).T
+    return jax.jit(rows)
+
+
+def _tree_fused(ops) -> bool:
+    from ..ec.pallas_ops import use_fused_madd
+    return use_fused_madd(ops)
+
+
+class MSMTreeStages:
+    """Segmented-tree batch-affine pipeline (msm/tree.py) behind the same
+    stage interface as MSMStages.
+
+    The tree's slot count m0 and depth Lmax are data dependent (they come
+    from the bucket histogram), so window_sums fetches the schedule's tiny
+    stats vector to the host and dispatches to an accumulate executable
+    compiled for (m0, Lmax); same-shaped invocations hit the jit cache."""
+
+    #: level-array byte budget per accumulate call (bounds window grouping)
+    BUDGET = 3 << 30
+
+    def __init__(self, curve_name: str, wbits: int, nwins: int,
+                 n_words: int):
+        from .tree import make_tree_schedule
+        self.curve_name = curve_name
+        self.ops = get_curve_ops(curve_name)
+        self.nwins = nwins
+        self.nbuckets = 1 << (wbits - 1)
+        breakdown = _make_breakdown(curve_name, wbits, nwins, n_words,
+                                    spread=False)
+        self.schedule = jax.jit(make_tree_schedule(breakdown, self.nbuckets))
+        self.integrate = jax.jit(_make_integrate(curve_name, nwins,
+                                                 self.nbuckets))
+        self.to_affine = jax.jit(self.ops.xyzz_to_affine)
+
+    def _slot_bytes(self) -> int:
+        base = self.ops.base
+        limbs = base.n_limbs or 1
+        return 2 * limbs * 4 * self.ops.degree
+
+    def window_sums(self, words, points):
+        from .tree import plan_layout
+        fused = _tree_fused(self.ops)
+        sv, base, occ, sb, pb2, rb2o, lev, stats = self.schedule(words)
+        m0, lmax = plan_layout(np.asarray(stats))
+        accf = _tree_acc_jit(self.curve_name, m0, lmax, fused)
+        if fused:
+            pts = _tree_rows_jit(self.curve_name)(*points)
+        else:
+            pts = points
+        # level arrays total ~3x m0 slots live at once (gathered rows +
+        # level 1 + smaller tails); group windows to stay under BUDGET
+        per_win = 3 * m0 * self._slot_bytes()
+        wg = max(1, min(self.nwins, self.BUDGET // max(per_win, 1)))
+        outs = []
+        for lo in range(0, self.nwins, wg):
+            hi = min(lo + wg, self.nwins)
+            args = [a[lo:hi] for a in (sv, base, occ, sb, pb2, rb2o, lev)]
+            outs.append(accf(*args, pts))
+        bx, by = [jax.tree.map(lambda *ls: jnp.concatenate(ls, axis=-2),
+                               *[o[k] for o in outs]) for k in (0, 1)]
+        bucket = self.ops.affine_to_xyzz((bx, by))
+        return self.integrate(bucket)
+
+    def __call__(self, words, points):
+        return self.to_affine(self.window_sums(words, points))
+
+
+def _spread_policy(order: int, wbits: int, nwins: int, nbuckets: int):
+    """Top-window sub-bucket spreading parameters (see _make_breakdown)."""
     top_max = (order // 2 >> ((nwins - 1) * wbits)) + 1
     top_span = 1 << (top_max - 1).bit_length() if top_max > 1 else 1
     k_spread = nbuckets // top_span if top_span < nbuckets else 1
+    return top_span, k_spread
+
+
+@functools.lru_cache(maxsize=None)
+def _make_breakdown(curve_name: str, wbits: int, nwins: int, n_words: int,
+                    spread: bool = True):
+    """Signed-digit breakdown body: (n_words, n) canonical word planes ->
+    (ids, signs) of shape (nwins, n) (role of the breakdown kernel,
+    pippenger.cuh:72-121).
+
+    With spread=True the top window's digits are spread over replica
+    sub-bucket slots (see the comment at _spread_policy's call site in
+    _stage_bodies); the tree accumulator turns this off — its cost is
+    logarithmic in the max bucket occupancy, so top-window concentration
+    only adds ~lg(span) cheap levels."""
+    curve = get_curve(curve_name)
+    order = curve.scalar.modulus
+    nbuckets = 1 << (wbits - 1)
+    top_span, k_spread = _spread_policy(order, wbits, nwins, nbuckets)
+    if not spread:
+        k_spread = 1
     half = np.uint32(1 << (wbits - 1))
     full = 1 << wbits
     mask = np.uint32(full - 1)
@@ -307,6 +410,37 @@ def _stage_bodies(curve_name: str, wbits: int, nwins: int, n_words: int,
             ids[-1] = jnp.where(ids[-1] == 0, ids[-1], ids[-1] + rep)
         return jnp.stack(ids), jnp.stack(signs)
 
+    return breakdown
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_bodies(curve_name: str, wbits: int, nwins: int, n_words: int,
+                  mode: str = "auto"):
+    """Un-jitted phase bodies (schedule, accumulate, integrate, to_affine).
+    The sharded MSM wraps each in shard_map (parallel/msm.py); the
+    single-chip path jits each directly.
+
+    mode: "xyzz" (unified xyzz madd — the "auto" default here, and the
+    stage set the sharded MSM composes), "affine" (per-round batch-affine
+    buckets; kept for cross-checking).  MSMContext's own "auto" routes to
+    the segmented-tree accumulator (msm/tree.py) instead, which replaced
+    both as the fast path in round 4.
+
+    The top-window digit spreading (see _make_breakdown) exists because
+    these modes' accumulate cost is LINEAR in the max bucket occupancy:
+    the reference's work-stealing accumulate absorbs the top window's
+    structural concentration with more threads per window
+    (msm/pippenger.cuh:157-176); here the digits spread over
+    k = nbuckets/span replica slots folded before integrate."""
+    curve = get_curve(curve_name)
+    ops = get_curve_ops(curve_name)
+    if mode == "auto":
+        mode = "xyzz"
+    order = curve.scalar.modulus
+    nbuckets = 1 << (wbits - 1)
+    top_span, k_spread = _spread_policy(order, wbits, nwins, nbuckets)
+    breakdown = _make_breakdown(curve_name, wbits, nwins, n_words,
+                                spread=True)
     bshape = (nwins, nbuckets)
     F = ops.F
 
@@ -430,6 +564,16 @@ def _stage_bodies(curve_name: str, wbits: int, nwins: int, n_words: int,
                                          (zeros, zeros))
             return ops.affine_to_xyzz((bax, bay))
 
+    integrate = _make_integrate(curve_name, nwins, nbuckets, k_spread,
+                                top_span)
+    return schedule, accumulate, integrate, ops.xyzz_to_affine
+
+
+@functools.lru_cache(maxsize=None)
+def _make_integrate(curve_name: str, nwins: int, nbuckets: int,
+                    k_spread: int = 1, top_span: int = 0):
+    ops = get_curve_ops(curve_name)
+
     def integrate(bucket):
         """W = sum_b (b) * bucket_b over digits b = 1..nbuckets, as grouped
         serial acc/res strip reductions — the exact dataflow of the
@@ -514,7 +658,7 @@ def _stage_bodies(curve_name: str, wbits: int, nwins: int, n_words: int,
             sumSuf = xdbl(sumSuf)
         return xadd(sumRes, sumSuf)               # (.., nwins)
 
-    return schedule, accumulate, integrate, ops.xyzz_to_affine
+    return integrate
 
 
 # ---------------------------------------------------------------------------

@@ -44,6 +44,9 @@ class FieldParams:
     ref_limb_bits: int = 32
     #: maximum lg2 NTT domain (ntt/parameters.cuh:11-19); 0 = no NTT support
     max_lg_domain: int = 0
+    #: force a specific limb engine ("bigmont"); "" = pick by modulus shape
+    #: (the role of the reference's explicit mont_t-vs-gl64_t typedef choice)
+    engine: str = ""
 
     @property
     def bits(self) -> int:
@@ -324,6 +327,22 @@ TEST_BM64_FR = FieldParams(name="test_bm64_fr",
                            modulus=0x7FFFFFF900000001,  # 0x7FFFFFF9*2^32+1
                            generator=3, max_lg_domain=20)
 
+# BigMont-fp2 G2 test curve: the SAME group as TEST_GL64_G2 (same j = 0
+# curve over the Goldilocks prime, same Deuring point count) but with the
+# base field forced through the BigMontField engine (4 sixteen-bit limb
+# planes, Montgomery wire) — so the fused fp2 EC kernels
+# (ec/pallas_ops.py _KCtx degree-2 paths) execute under the Pallas
+# interpreter on CI at 64-bit compile cost, standing in for
+# BLS12-381/BN254/BLS12-377 G2 exactly as TEST_BM64_G1 stands in for their
+# G1 (ff/alt_bn128-fp2.hpp:25-160, poc/msm-cuda/src/lib.rs:84).
+GOLDILOCKS_BM = FieldParams(name="goldilocks_bm",
+                            modulus=(1 << 64) - (1 << 32) + 1,
+                            generator=7, engine="bigmont")
+TEST_BM64_FP2 = Fp2Params("test_bm64_fp2", GOLDILOCKS_BM, 7)
+TEST_BM64_G2 = CurveParams(
+    "test_bm64_g2", GOLDILOCKS_BM, TEST_GL64_G2_FR, b=2, fp2=TEST_BM64_FP2,
+    cofactor=18446744065119617025 * 467443687)
+
 
 # G2 curves: b in Fp2.
 _381_b2 = 4
@@ -355,6 +374,7 @@ FIELDS = {
         BABY_BEAR, BABY_BEAR_RISC0, MERSENNE31, GOLDILOCKS, GOLDILOCKS_PLONKY2,
         BN254_FR, BN254_FP, BLS12_381_FR, BLS12_381_FP, BLS12_377_FR,
         BLS12_377_FP, PALLAS_P, VESTA_Q, TEST_BM64_FP, TEST_BM64_FR,
+        GOLDILOCKS_BM,
     ]
 }
 
@@ -362,7 +382,7 @@ CURVES = {
     c.name: c
     for c in [BN254_G1, BLS12_381_G1, BLS12_377_G1, PALLAS_G1, VESTA_G1,
               BLS12_381_G2, BN254_G2, BLS12_377_G2, TOY_BB31_G1,
-              TEST_GL64_G1, TEST_GL64_G2, TEST_BM64_G1]
+              TEST_GL64_G1, TEST_GL64_G2, TEST_BM64_G1, TEST_BM64_G2]
 }
 
 

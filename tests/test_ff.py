@@ -149,3 +149,14 @@ def test_bb31_4(rng):
     # inversion: a * a^-1 == 1
     got = F.to_int_list(F.mul(a, F.inv(a)))
     assert all(v == (1, 0, 0, 0) for v in got)
+    # batched extension inversion (ff/baby_bear.hpp:602-633): one
+    # prime-field batch inversion serves the whole bb31_4 batch, zero
+    # lanes tolerated
+    a_int2 = list(a_int)
+    a_int2[5] = (0, 0, 0, 0)
+    a2 = F.from_int_list(a_int2)
+    got_b = F.to_int_list(F.mul(a2, F.batch_inv(a2)))
+    assert got_b[5] == (0, 0, 0, 0)
+    assert all(v == (1, 0, 0, 0) for i, v in enumerate(got_b) if i != 5)
+    got_t = F.to_int_list(F.mul(a, F.batch_inv_tree(a)))
+    assert all(v == (1, 0, 0, 0) for v in got_t)

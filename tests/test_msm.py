@@ -191,6 +191,26 @@ def test_msm_chunked_invoke(rng):
     assert (got.x, got.y, got.inf) == (want.x, want.y, want.inf)
 
 
+def test_msm_chunked_host_streaming(rng):
+    """Host-resident numpy point arrays upload chunk by chunk
+    (double-buffered device_put) — point sets larger than device memory
+    (the staged-upload role of msm/pippenger.cuh:496-556)."""
+    import numpy as np
+    import jax
+    from sppark_tpu.ec import get_curve_ops
+
+    n = 56
+    points, scalars = make_inputs(FAST_CURVE, n, rng)
+    ops = get_curve_ops(FAST_CURVE)
+    dev_pts = ops.affine_from_ints(points)
+    host_pts = jax.tree.map(lambda a: np.asarray(a), dev_pts)
+    assert all(isinstance(a, np.ndarray) for a in jax.tree.leaves(host_pts))
+    ctx = MSMContext(FAST_CURVE, n, wbits=_WBITS, chunk=24)
+    got = ctx.invoke(scalars, points=host_pts)
+    want = msm_naive(get_curve(FAST_CURVE), points, scalars)
+    assert (got.x, got.y, got.inf) == (want.x, want.y, want.inf)
+
+
 def test_msm_g2_affine_mode(rng):
     """G2 batch-affine buckets via Fp2.batch_inv_tree (the path the
     reference unlocks with warp-pair fp2 + batch inversion,
