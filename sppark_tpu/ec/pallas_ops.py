@@ -33,6 +33,16 @@ from ..ff.bigmont import (BigMontField, mul_limbs, sqr_limbs, add_limbs,
 
 _BLOCK_ROWS = 32
 
+# Mosaic's default scoped-vmem limit (16 MiB) is marginal for the fused
+# add/pair kernels at 32-row blocks (measured 16.63 MiB at L=24, rb=32);
+# v5e has headroom, so ask for more (same pattern as ntt/pallas_kernels).
+_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _compiler_params():
+    from jax.experimental.pallas import tpu as _pltpu
+    return _pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+
 
 def _interpret() -> bool:
     import os
@@ -290,6 +300,7 @@ def _add_call(curve_name: str, R: int, interpret: bool):
         out_specs=(spec,) * 4,
         out_shape=(shape,) * 4,
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )
 
 
@@ -360,6 +371,7 @@ def _dbl_call(curve_name: str, R: int, interpret: bool):
         out_specs=(spec,) * 4,
         out_shape=(shape,) * 4,
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )
 
 
@@ -457,6 +469,7 @@ def _madd_call(curve_name: str, R: int, interpret: bool):
         out_specs=(spec,) * 4,
         out_shape=(shape,) * 4,
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )
 
 
@@ -502,6 +515,7 @@ def _pair_prep_call(curve_name: str, R: int, interpret: bool):
         out_shape=(jax.ShapeDtypeStruct((K.planes, R, 128), jnp.uint32),
                    jax.ShapeDtypeStruct((1, R, 128), jnp.uint32)),
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )
 
 
@@ -567,6 +581,7 @@ def _pair_finish_call(curve_name: str, R: int, interpret: bool):
         out_specs=(spec,) * 2,
         out_shape=(shape,) * 2,
         interpret=interpret,
+        compiler_params=_compiler_params(),
     )
 
 

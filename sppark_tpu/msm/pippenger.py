@@ -239,7 +239,9 @@ class MSMStages:
 @functools.lru_cache(maxsize=None)
 def _pipeline(curve_name: str, wbits: int, nwins: int, n_words: int,
               mode: str = "auto"):
-    if mode in ("auto", "tree"):
+    if mode in ("auto", "slab"):
+        return MSMSlabStages(curve_name, wbits, nwins, n_words)
+    if mode == "tree":
         return MSMTreeStages(curve_name, wbits, nwins, n_words)
     return MSMStages(*(jax.jit(f) for f in
                        _stage_bodies(curve_name, wbits, nwins, n_words,
@@ -321,6 +323,97 @@ class MSMTreeStages:
         bx, by = [jax.tree.map(lambda *ls: jnp.concatenate(ls, axis=-2),
                                *[o[k] for o in outs]) for k in (0, 1)]
         bucket = self.ops.affine_to_xyzz((bx, by))
+        return self.integrate(bucket)
+
+    def __call__(self, words, points):
+        return self.to_affine(self.window_sums(words, points))
+
+
+@functools.lru_cache(maxsize=None)
+def _slab_schedule_jit(curve_name: str, wbits: int, nwins: int,
+                       n_words: int, cap: int, n_rows: int):
+    from .slab import make_slab_schedule
+    breakdown = _make_breakdown(curve_name, wbits, nwins, n_words,
+                                spread=False)
+    return jax.jit(make_slab_schedule(breakdown, 1 << (wbits - 1), cap,
+                                      n_rows))
+
+
+@functools.lru_cache(maxsize=None)
+def _slab_acc_jit(curve_name: str, cap: int, fused: bool):
+    from .slab import make_slab_accumulate
+    return jax.jit(make_slab_accumulate(curve_name, cap, fused))
+
+
+@functools.lru_cache(maxsize=None)
+def _slab_rows_jit(curve_name: str):
+    """Point coords -> PACKED row-major (n, D*L) staging for the slab
+    gather: two 16-bit limb planes per u32 word.  Halving the row width
+    triples the measured XLA gather rate on v5e (width 24: 47 M rows/s vs
+    width 48: 15 M rows/s) and halves resident slab bytes."""
+    def rows(px, py):
+        planes = jnp.concatenate(jax.tree.leaves((px, py)), axis=0)
+        packed = planes[0::2] | (planes[1::2] << np.uint32(16))
+        return packed.T
+    return jax.jit(rows)
+
+
+class MSMSlabStages:
+    """Occupancy-capped slab pipeline (msm/slab.py) behind the same stage
+    interface as MSMStages — the round-4 default accumulate.
+
+    Unlike the segmented tree, every shape here is a function of
+    (n, wbits, window-group width) only: no histogram-dependent shapes,
+    no host round-trip, no per-distribution recompiles."""
+
+    #: live slab byte budget per accumulate call (bounds window grouping)
+    BUDGET = 3 << 30
+
+    def __init__(self, curve_name: str, wbits: int, nwins: int,
+                 n_words: int):
+        self.curve_name = curve_name
+        self.wbits = wbits
+        self.n_words = n_words
+        self.ops = get_curve_ops(curve_name)
+        self.nwins = nwins
+        self.nbuckets = 1 << (wbits - 1)
+        self.integrate = jax.jit(_make_integrate(curve_name, nwins,
+                                                 self.nbuckets))
+        self.to_affine = jax.jit(self.ops.xyzz_to_affine)
+
+    def _point_bytes(self) -> int:
+        base = self.ops.base
+        limbs = base.n_limbs or 1
+        return 2 * limbs * 4 * self.ops.degree
+
+    def _group_size(self, n: int, cap: int, n_rows: int) -> int:
+        per_win = cap * n_rows * self._point_bytes()
+        wg = max(1, min(self.nwins, self.BUDGET // max(per_win, 1)))
+        while self.nwins % wg:          # equal groups -> one kernel shape
+            wg -= 1
+        return wg
+
+    def window_sums(self, words, points):
+        from .slab import plan_slab
+        from ..ec.pallas_ops import use_fused_madd
+        fused = use_fused_madd(self.ops)
+        n = words.shape[1]
+        cap, n_rows = plan_slab(n, self.nbuckets)
+        sched = _slab_schedule_jit(self.curve_name, self.wbits, self.nwins,
+                                   self.n_words, cap, n_rows)
+        sv, row_src, row_len, row_bucket, row_rank, first_row, stats = \
+            sched(words)
+        accf = _slab_acc_jit(self.curve_name, cap, fused)
+        pts = _slab_rows_jit(self.curve_name)(*points) if fused else points
+        wg = self._group_size(n, cap, n_rows)
+        outs = []
+        for lo in range(0, self.nwins, wg):
+            hi = lo + wg
+            args = [a[lo:hi] for a in (sv, row_src, row_len, row_bucket,
+                                       row_rank, first_row)]
+            outs.append(accf(*args, stats, pts))
+        bucket = jax.tree.map(lambda *ls: jnp.concatenate(ls, axis=-2),
+                              *outs)
         return self.integrate(bucket)
 
     def __call__(self, words, points):

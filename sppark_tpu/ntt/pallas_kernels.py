@@ -238,7 +238,22 @@ def _rows_kernel(field_name: str, lg: int, rows_pb: int,
             y = _bitrev_axis(ops, y, lg)
         if with_mul:
             y = ops.mul(y, rest[0][:])
-        out_ref[:] = jnp.swapaxes(y, -1, -2) if out_t else y
+        if not out_t:
+            out_ref[:] = y
+            return
+        # transposed write: one 128-column tile at a time — a single
+        # (rows_pb, n) swapaxes makes Mosaic's relayout search explode
+        # (40+ min compiles measured at (128, 8192)); per-tile (128, 128)
+        # transposes lower natively and the full store stays in VMEM
+        TT = 128
+        if n <= TT or rows_pb > TT:
+            out_ref[:] = jnp.swapaxes(y, -1, -2)
+            return
+        pre = (slice(None),) * (y.ndim - 2)
+        for j in range(n // TT):
+            tile = y[pre + (slice(None), slice(j * TT, (j + 1) * TT))]
+            out_ref[pre + (slice(j * TT, (j + 1) * TT), slice(None))] = \
+                jnp.swapaxes(tile, -1, -2)
 
     def call(x, tw, mul=None):
         """x: (limb?, OB?, B, n) — an optional extra leading batch dim OB
@@ -397,11 +412,10 @@ def _apply_rows(field_name: str, x, lg: int, table, mul=None,
     if out_t and rows_pb != B and rows_pb % 128:
         planes = max(F.n_limbs, 1)
         blk_bytes = 128 * (1 << lg) * 4 * planes
-        # NOTE: VMEM (128 MiB on v5e) could hold much larger tiles, but
-        # Mosaic's compile time for the in-kernel (128, 8192) transposed
-        # write explodes past 40 minutes — measured round 3 — so blocks
-        # beyond 2 MiB take the one-extra-HBM-pass XLA transpose instead
-        if B % 128 == 0 and blk_bytes <= (2 << 20):
+        # the kernel's per-128-column-tile transposed store keeps Mosaic
+        # compile sane at any block size that fits VMEM (in + out blocks
+        # <= ~2x32 MiB); beyond that fall back to an XLA transpose pass
+        if B % 128 == 0 and blk_bytes <= (32 << 20):
             rows_pb = 128
         else:
             # tile too large to transpose in VMEM at 128-lane width:

@@ -310,14 +310,24 @@ TEST_GL64_G2 = CurveParams(
 
 # Small big-Montgomery test curve: y^2 = x^3 + 3 over the largest 64-bit
 # prime 2^64 - 59 (L = 4 sixteen-bit limb planes through BigMontField).
-# Not a cryptographic group — it exists so the fused Pallas EC kernels
-# (ec/pallas_ops.py) execute under the Pallas interpreter on GPU-less CI
-# in seconds, where the 256-bit curves' interpreted kernels take tens of
-# minutes of XLA-CPU compile; point-op algebra is representation-exact
-# either way.  cofactor left 1: whole-curve points are fine for point ops.
+# It exists so the fused Pallas EC kernels (ec/pallas_ops.py) execute
+# under the Pallas interpreter on GPU-less CI in seconds, where the
+# 256-bit curves' interpreted kernels take tens of minutes of XLA-CPU
+# compile.  p = 2 mod 3 makes the curve supersingular, so #E = p + 1 =
+# 2 * 3 * 7 * 439208192231179799 exactly; the 59-bit prime subgroup is
+# the scalar group (verified by ell * P = O for random cofactor-cleared
+# P, tests/test_params.py) — MSM's signed-digit fold (order - s, negate)
+# needs the TRUE subgroup order, so a placeholder order is not an option.
 TEST_BM64_FP = FieldParams(name="test_bm64_fp", modulus=(1 << 64) - 59,
                            generator=2)
-TEST_BM64_G1 = CurveParams("test_bm64", TEST_BM64_FP, TEST_GL64_FR, b=3)
+TEST_BM64_FR_SCALAR = FieldParams(
+    name="test_bm64_fr_scalar",
+    modulus=439208192231179799,
+    generator=3,                 # arbitrary; no NTT use
+    montgomery_wire=False,
+)
+TEST_BM64_G1 = CurveParams("test_bm64", TEST_BM64_FP, TEST_BM64_FR_SCALAR,
+                           b=3, cofactor=42)
 
 # NTT-capable small big-Montgomery test field: 63-bit prime with
 # 2-adicity 32 (p = 0x7FFFFFF9 * 2^32 + 1), L = 4 limb planes — lets
