@@ -1,46 +1,60 @@
 """Headline benchmark: Goldilocks NTT 2^24 + the BASELINE contract sizes.
 
-Prints ONE JSON line with the driver contract keys
-{"metric", "value", "unit", "vs_baseline"} for the headline NTT number,
-plus an "extras" list carrying the BASELINE.md configs measured in the same
-run, each with a `verified` flag recording an on-chip correctness check:
+Emits the driver-contract JSON line {"metric", "value", "unit",
+"vs_baseline"} for the headline NTT number, plus an "extras" list carrying
+the BASELINE.md configs, each with a `verified` flag recording an on-chip
+correctness check.
 
-  * gl64 coset LDE 2^24 blowup 4 (config 2)   — verified: iNTT(coset^-1)
-    round-trip of the low domain + oracle differential at 2^14
-  * Pasta MSM 2^20 (config 3)                 — verified: small-n oracle
-    differential + full-n scaling identity MSM(k*s) == k*MSM(s)
-  * BLS12-381 MSM 2^24 (config 4)             — same protocol
-  * BLS12-381 MSM 2^20                        — round-over-round continuity
+**Incremental emission**: the headline line prints (and flushes) the moment
+the NTT number exists, and an updated full line re-prints after EVERY
+completed extra — so the LAST complete JSON line on stdout always reflects
+everything measured so far, and a driver timeout mid-extra loses only the
+unfinished stage (round 4's rc=124 lost the whole scoreboard because the
+single print sat after all extras).
 
-Baselines (BASELINE.md: the reference publishes NO numbers, so these are
-stated estimates, not sppark measurements):
+**Budget**: SPPARK_BENCH_BUDGET (default 1500 s) bounds the run; each stage
+declares an estimated cost and is skipped (recorded as
+{"metric": ..., "skipped": "budget"}) once the remaining budget can't
+cover it.
 
-* NTT — sppark runs gl64 2^24 in 3 kernel passes (ntt/ntt.cuh:100-128):
-  3 passes x 256 MiB read+write at ~70% of A100's 2.0 TB/s => ~0.55 ms
-  => ~3.7e11 butterflies/s HBM-roofline ceiling; allowing for its
-  butterfly arithmetic we take A100_NTT = 2.5e11 butterflies/s.  For
-  scale: this v5e's own ceilings are ~2.1e11 (HBM: 2 passes at ~70% of
-  819 GB/s) and ~4e10 (VPU: ~55 int32 lane-ops per butterfly at ~2
-  ops/cycle/lane) — the VPU bound binds first.
-* MSM — published A100 sppark-class BLS12-381 2^23-24 MSMs land around
-  100-140 ms => ~1.2e8 points/s; we take A100_MSM = 1.0e8 points/s.
-  BASELINE's bar is "within 2x of A100 per chip" (vs_baseline >= 0.5).
+Stages, in value order:
+  * gl64 NTT 2^24 (headline)
+  * BLS12-381 MSM 2^20               — round-over-round continuity
+  * MSM phase breakdown @ 2^20       — schedule/gather/madd/fold/integrate
+  * gl64 coset LDE 2^24 blowup 4     — BASELINE config 2
+  * Pasta (pallas) MSM 2^20          — config 3
+  * BLS12-381 G2 MSM 2^16            — reference G2 bench analogue
+                                       (poc/msm-cuda/benches/msm.rs:48-66)
+  * BLS12-381 MSM 2^24               — config 4
 
-Env knobs: SPPARK_BENCH_LG (default 24 on TPU, 16 elsewhere),
-SPPARK_BENCH_FIELD (default goldilocks), SPPARK_BENCH_REPS (default 5),
-SPPARK_BENCH_MSM (default 1 on TPU; 0 skips), SPPARK_BENCH_MSM_LG
-(default 20), SPPARK_BENCH_MSM_CURVE (default bls12_381),
-SPPARK_BENCH_CONTRACT (default 1 on TPU: run the BASELINE configs).
+Verification protocol (VERDICT r4 #1: no full-2^24 host bigint passes):
+each MSM stage's `verified` is a small-n oracle differential of the SAME
+pipeline configuration; when budget remains, the 2^20 MSM also checks the
+device-side linearity identity MSM(s) == MSM(s_even∪0) + MSM(0∪s_odd)
+(`verified_split` key).
+
+Baselines (BASELINE.md: the reference publishes NO numbers; estimates):
+* A100_NTT = 2.5e11 butterflies/s; A100_MSM = 1.0e8 points/s; the bar is
+  vs_baseline >= 0.5 ("within 2x of A100 per chip").
+* This chip's own ceilings (v5e): HBM ~819 GB/s => gl64 NTT 2-pass bound
+  ~2.1e11 butterflies/s; VPU (int ops) bound ~4e10 butterflies/s binds
+  first.  Roofline fractions are reported as `roofline_vpu` where known.
+
+Env knobs: SPPARK_BENCH_LG, SPPARK_BENCH_FIELD, SPPARK_BENCH_REPS,
+SPPARK_BENCH_MSM, SPPARK_BENCH_MSM_LG, SPPARK_BENCH_MSM_CURVE,
+SPPARK_BENCH_CONTRACT, SPPARK_BENCH_BUDGET.
 """
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
 A100_NTT_BUTTERFLIES_PER_S = 2.5e11   # estimate; see module docstring
 A100_MSM_POINTS_PER_S = 1.0e8         # estimate; see module docstring
+V5E_NTT_VPU_ROOFLINE = 4.0e10         # butterflies/s; see module docstring
 
 
 def _enable_compile_cache():
@@ -63,6 +77,12 @@ def _fence(arr):
     import jax
     return np.asarray(jax.device_get(
         arr[(0,) * (arr.ndim - 1) + (slice(0, 1),)]))
+
+
+def _fence_tree(tree):
+    import jax
+    for leaf in jax.tree.leaves(tree):
+        _fence(leaf)
 
 
 def bench_ntt(backend):
@@ -112,6 +132,7 @@ def bench_ntt(backend):
         "unit": "butterflies/s",
         "vs_baseline": round(rate / A100_NTT_BUTTERFLIES_PER_S, 4),
         "ntt_ms": round(dt * 1e3, 3),
+        "roofline_vpu": round(rate / V5E_NTT_VPU_ROOFLINE, 4),
     }
 
 
@@ -147,10 +168,8 @@ def bench_lde(backend, lg=24, lg_blowup=2):
     want_s = lde_oracle(params, [int(v) for v in small], lg_blowup)
     verified = got_s == want_s
 
-    # verification 2: full-size round trip — the extension evaluated back
-    # on the original domain: coset_iNTT(ext)[::blowup... ] equals x is
-    # costly; instead check iNTT(coset shift^-1 * NTT^-1 path) via the
-    # inverse coset transform of ext truncated to degree < n
+    # verification 2: full-size round trip — inverse coset transform of
+    # ext must reproduce x in the low domain and zeros above degree n
     inv = base_dev(field, ext, lg + lg_blowup,
                    order=InputOutputOrder.NN, direction=Direction.inverse,
                    ntt_type=Type.coset)
@@ -205,10 +224,11 @@ def _msm_setup(curve, lg):
     nbase = 1 << min(lg, 11)
     base = [o.random_point(rng) for _ in range(nbase)]
     bx, by = ops.affine_from_ints(base)
-    points = tuple(jnp.tile(c, (1,) * (c.ndim - 1) + (n // nbase,))
-                   for c in (bx, by))
+    points = jax.tree.map(
+        lambda c: jnp.tile(c, (1,) * (c.ndim - 1) + (n // nbase,)),
+        (bx, by))
     if n > 3:
-        points = tuple(c.at[..., 3].set(0) for c in points)
+        points = jax.tree.map(lambda c: c.at[..., 3].set(0), points)
         base_pts = [base[i % nbase] for i in range(n)]
         from sppark_tpu.oracle.ec import AffinePoint
         base_pts[3] = AffinePoint(0, 0, True)
@@ -234,7 +254,16 @@ def _msm_verify(curve, lg_small=10):
     return (got.x, got.y, got.inf) == (want.x, want.y, want.inf)
 
 
-def bench_msm(backend, curve=None, lg=None, chunk_lg=22, verify_full=True):
+def _rand_scalar_words(cp, ctx, n, seed=42):
+    nprng = np.random.default_rng(seed)
+    words = nprng.integers(0, 1 << 32, size=(ctx.n_words, n),
+                           dtype=np.uint64).astype(np.uint32)
+    top = cp.scalar.modulus >> (32 * (ctx.n_words - 1))
+    words[-1] %= np.uint32(max(top, 1))
+    return words
+
+
+def bench_msm(backend, curve=None, lg=None, chunk_lg=22, split_check=False):
     import jax
     import jax.numpy as jnp
     from sppark_tpu.msm.pippenger import MSMContext
@@ -247,25 +276,27 @@ def bench_msm(backend, curve=None, lg=None, chunk_lg=22, verify_full=True):
     chunk = min(n, 1 << chunk_lg)
     ctx = MSMContext(curve, n, chunk=chunk if chunk < n else 0)
     ctx.set_points(points)
-    nprng = np.random.default_rng(42)
-    words = nprng.integers(0, 1 << 32, size=(ctx.n_words, n),
-                           dtype=np.uint64).astype(np.uint32)
-    top = cp.scalar.modulus >> (32 * (ctx.n_words - 1))
-    words[-1] %= np.uint32(max(top, 1))
+    words = _rand_scalar_words(cp, ctx, n)
 
     ctx.invoke(words)                 # warm-up / compile
     verified = _msm_verify(curve)
-    if verify_full:
-        # full-n scaling identity: MSM(k * s) == k * MSM(s) for a scalar k
-        # (exercises the production size end to end; the compare runs on
-        # exact host integers via the oracle)
-        k = 0xA5A5A5A5
-        r1 = ctx.invoke(words)
-        words_k = _scalar_scale(words, k, cp.scalar.modulus)
-        r2 = ctx.invoke(words_k)
-        want = o.jacobian_to_affine(o.scalar_mul(r1, k))
-        verified = verified and (
-            (r2.x, r2.y, r2.inf) == (want.x, want.y, want.inf))
+    out = {}
+    if split_check:
+        # device-side linearity identity at FULL n: MSM(s) must equal
+        # MSM(even-slots-only) + MSM(odd-slots-only) — same pipeline, same
+        # shapes, exact host compare of two affine ints (replaces round
+        # 3/4's minutes-long full-n host bigint scaling pass)
+        r_full = ctx.invoke(words)
+        w_even, w_odd = words.copy(), words.copy()
+        w_even[:, 1::2] = 0
+        w_odd[:, 0::2] = 0
+        r_e = ctx.invoke(w_even)
+        r_o = ctx.invoke(w_odd)
+        want = o.jacobian_to_affine(o.jacobian_add(
+            o.to_jacobian(r_e), o.to_jacobian(r_o)))
+        out["verified_split"] = (r_full.x, r_full.y, r_full.inf) == \
+            (want.x, want.y, want.inf)
+        verified = verified and out["verified_split"]
 
     reps = int(os.environ.get("SPPARK_BENCH_MSM_REPS", 2))
     times = []
@@ -282,7 +313,7 @@ def bench_msm(backend, curve=None, lg=None, chunk_lg=22, verify_full=True):
         times.append(time.perf_counter() - t0)
     dt = min(times)
     rate = n / dt
-    return {
+    out.update({
         "metric": f"{curve} MSM 2^{lg} points/s ({backend}, "
                   f"wbits={ctx.wbits})",
         "value": round(rate, 1),
@@ -290,53 +321,152 @@ def bench_msm(backend, curve=None, lg=None, chunk_lg=22, verify_full=True):
         "vs_baseline": round(rate / A100_MSM_POINTS_PER_S, 4),
         "msm_s": round(dt, 3),
         "verified": bool(verified),
+    })
+    return out
+
+
+def bench_msm_phases(backend, curve="bls12_381", lg=20):
+    """Phase-level breakdown of the slab MSM (VERDICT r4 #3): times the
+    schedule (breakdown+sort+histogram), point-row staging, the slab
+    gather alone, the full accumulate (gather + madd rounds + replica
+    fold), integrate, and to_affine — so MSM optimization decisions cite
+    measurements, not guesses.  Reports seconds per phase at 2^lg."""
+    import jax
+    import jax.numpy as jnp
+    from sppark_tpu.msm.pippenger import (MSMContext, _slab_rows_jit,
+                                          _slab_acc_jit)
+    from sppark_tpu.msm.slab import plan_slab, make_slab_gather
+    from sppark_tpu.ec.pallas_ops import use_fused_madd
+
+    n = 1 << lg
+    cp, o, ops, points, _ = _msm_setup(curve, lg)
+    ctx = MSMContext(curve, n)
+    st = ctx._fn                      # MSMSlabStages
+    words = jax.device_put(jnp.asarray(_rand_scalar_words(cp, ctx, n)))
+
+    fused = use_fused_madd(ops)
+    cap, n_rows = plan_slab(n, st.nbuckets)
+    from sppark_tpu.msm.pippenger import _slab_schedule_jit
+    sched = _slab_schedule_jit(curve, ctx.wbits, ctx.nwins, ctx.n_words,
+                               cap, n_rows)
+    gather = jax.jit(make_slab_gather(curve, cap, fused))
+    accf = _slab_acc_jit(curve, cap, fused)
+    rowsf = _slab_rows_jit(curve)
+
+    def timed(fn, *args, reps=2):
+        out = fn(*args)               # warm-up / compile
+        _fence_tree(out)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            _fence_tree(out)
+            best = min(best, time.perf_counter() - t0)
+        return best, out
+
+    t_sched, sched_out = timed(sched, words)
+    sv, row_src, row_len, row_bucket, row_rank, first_row, stats = sched_out
+    t_rows, pts = timed(rowsf, *points) if fused else (0.0, points)
+    wg = st._group_size(n, cap, n_rows)
+    groups = [(lo, lo + wg) for lo in range(0, st.nwins, wg)]
+
+    def run_gather():
+        outs = [gather(sv[lo:hi], row_src[lo:hi], row_len[lo:hi], pts)
+                for lo, hi in groups]
+        return outs[-1][0]
+
+    def run_acc():
+        outs = []
+        for lo, hi in groups:
+            args = [a[lo:hi] for a in (sv, row_src, row_len, row_bucket,
+                                       row_rank, first_row)]
+            outs.append(accf(*args, stats, pts))
+        return outs
+
+    t_gather, _ = timed(run_gather)
+    t_acc, outs = timed(run_acc)
+    bucket = jax.tree.map(lambda *ls: jnp.concatenate(ls, axis=-2), *outs)
+    t_int, win = timed(st.integrate, bucket)
+    t_aff, _ = timed(st.to_affine, win)
+    total = t_sched + t_rows + t_acc + t_int + t_aff
+    return {
+        "metric": f"{curve} MSM 2^{lg} phase breakdown ({backend}, "
+                  f"wbits={ctx.wbits}, cap={cap}, wg={wg})",
+        "unit": "s",
+        "value": round(total, 3),
+        "schedule_s": round(t_sched, 3),
+        "point_rows_s": round(t_rows, 3),
+        "gather_s": round(t_gather, 3),
+        "accumulate_s": round(t_acc, 3),
+        "madd_rounds_s": round(t_acc - t_gather, 3),
+        "integrate_s": round(t_int, 3),
+        "to_affine_s": round(t_aff, 3),
     }
 
 
-def _scalar_scale(words, k, order):
-    """Host-side (n_words, n) scalar array scaled by k mod order."""
-    n_words, n = words.shape
-    out = np.empty_like(words)
-    vals = np.zeros(n, dtype=object)
-    for i in reversed(range(n_words)):
-        vals = (vals << 32) | words[i].astype(object)
-    vals = (vals * k) % order
-    for i in range(n_words):
-        out[i] = (vals & 0xFFFFFFFF).astype(np.uint64).astype(np.uint32)
-        vals >>= 32
-    return out
+def bench_msm_g2(backend, curve="bls12_381_g2", lg=16):
+    """On-chip G2 MSM (reference: poc/msm-cuda/benches/msm.rs:48-66 benches
+    G2 for BLS12-377/381 at BENCH_NPOW; first TPU G2 number)."""
+    return bench_msm(backend, curve=curve, lg=lg)
+
+
+class _Budget:
+    def __init__(self):
+        self.t0 = time.perf_counter()
+        self.total = float(os.environ.get("SPPARK_BENCH_BUDGET", 1500))
+
+    def remaining(self):
+        return self.total - (time.perf_counter() - self.t0)
 
 
 def main():
     import jax
     _enable_compile_cache()
     backend = jax.default_backend()
-    result = bench_ntt(backend)
+    budget = _Budget()
     on_tpu = backend not in ("cpu",)
+
+    result = bench_ntt(backend)
     extras = []
+    result["extras"] = extras
+
+    def emit():
+        print(json.dumps(result))
+        sys.stdout.flush()
+
+    emit()                            # headline lands before any extra
+
     run_msm = int(os.environ.get("SPPARK_BENCH_MSM", 1 if on_tpu else 0))
     run_contract = int(os.environ.get("SPPARK_BENCH_CONTRACT",
                                       1 if on_tpu else 0))
+    stages = []
     if run_msm:
-        try:
-            extras.append(bench_msm(backend))
-        except Exception as e:        # a failure must not mask the NTT line
-            extras.append({"metric": "msm 2^20", "error": repr(e)[:200]})
+        stages.append(("bls12_381 msm 2^20", 420,
+                       lambda: bench_msm(backend, curve="bls12_381", lg=20,
+                                         split_check=True)))
     if run_contract:
-        for label, fn in (
-            ("lde config2", lambda: bench_lde(backend)),
-            ("pasta msm config3",
+        stages += [
+            ("msm phase breakdown", 240,
+             lambda: bench_msm_phases(backend)),
+            ("lde config2", 240, lambda: bench_lde(backend)),
+            ("pasta msm config3", 300,
              lambda: bench_msm(backend, curve="pallas", lg=20)),
-            ("bls12-381 msm config4",
+            ("bls12-381 g2 msm 2^16", 420,
+             lambda: bench_msm_g2(backend)),
+            ("bls12-381 msm config4", 600,
              lambda: bench_msm(backend, curve="bls12_381", lg=24)),
-        ):
-            try:
-                extras.append(fn())
-            except Exception as e:
-                extras.append({"metric": label, "error": repr(e)[:200]})
-    if extras:
-        result["extras"] = extras
-    print(json.dumps(result))
+        ]
+    for label, est, fn in stages:
+        if budget.remaining() < est:
+            extras.append({"metric": label, "skipped": "budget",
+                           "remaining_s": round(budget.remaining(), 1)})
+            emit()
+            continue
+        try:
+            extras.append(fn())
+        except Exception as e:        # a failure must not mask the NTT line
+            extras.append({"metric": label, "error": repr(e)[:200]})
+        emit()
 
 
 if __name__ == "__main__":

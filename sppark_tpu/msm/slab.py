@@ -124,6 +124,48 @@ def make_slab_schedule(breakdown, nbuckets: int, cap: int, n_rows: int):
     return schedule
 
 
+def _materialize(sorted_val, row_src, row_len, cap: int, points, fused,
+                 P: int = 0):
+    """Slab materialization: ONE gather per window group.  Returns
+    (slab, valid, sgn); shared by the accumulate body and the
+    gather-only profiling entry (bench phase breakdown)."""
+    wg, S = row_src.shape
+    n = sorted_val.shape[-1]
+    r_iota = jax.lax.broadcasted_iota(_U32, (cap, wg, S), 0)
+    src = jnp.minimum(row_src[None] + r_iota, np.uint32(n - 1))
+    payload = jax.vmap(lambda v, s: jnp.take(v, s, axis=0),
+                       in_axes=(0, 1), out_axes=1)(sorted_val, src)
+    idx = payload & _IDX_MASK
+    sgn = (payload >> np.uint32(31)) == 1
+    valid = r_iota < row_len[None]
+    sgn = sgn & valid
+    if fused:
+        # `points` is the PACKED (n, D*L) matrix: two 16-bit limbs per
+        # u32 (see _slab_rows_jit) — halves the gather bytes, and the
+        # measured XLA row-gather rate at width D*L is ~3x the rate at
+        # width 2*D*L (47 vs 15 M rows/s on v5e)
+        rows = jnp.take(points, idx.reshape(-1), axis=0)
+        slab = jnp.moveaxis(rows.reshape(cap, wg, S, P), -1, 1)
+    else:
+        slab = jax.tree.map(
+            lambda a: jnp.take(a, idx, axis=-1), (points[0], points[1]))
+    return slab, valid, sgn
+
+
+def make_slab_gather(curve_name: str, cap: int, fused: bool):
+    """Gather-only body (profiling: the slab's one bulk permutation,
+    isolated from the madd rounds — bench.py phase breakdown)."""
+    ops = get_curve_ops(curve_name)
+    P = ops.degree * ops.base.L if fused else 0
+
+    def gather_only(sorted_val, row_src, row_len, points):
+        slab, valid, sgn = _materialize(sorted_val, row_src, row_len, cap,
+                                        points, fused, P)
+        return jax.tree.leaves(slab)[0], valid, sgn
+
+    return gather_only
+
+
 def make_slab_accumulate(curve_name: str, cap: int, fused: bool):
     """Accumulate body over one window group (wg windows baked into call
     shapes).  `points` is the row-major (n, planes) matrix when fused,
@@ -148,31 +190,11 @@ def make_slab_accumulate(curve_name: str, cap: int, fused: bool):
     def accumulate(sorted_val, row_src, row_len, row_bucket, row_rank,
                    first_row, stats, points):
         wg, S = row_src.shape
-        n = sorted_val.shape[-1]
         rounds = stats[0].astype(jnp.int32)
         max_rows = stats[1]
-
-        # -- slab materialization: ONE gather per window group ------------
-        r_iota = jax.lax.broadcasted_iota(_U32, (cap, wg, S), 0)
-        src = jnp.minimum(row_src[None] + r_iota, np.uint32(n - 1))
-        payload = jax.vmap(lambda v, s: jnp.take(v, s, axis=0),
-                           in_axes=(0, 1), out_axes=1)(sorted_val, src)
-        idx = payload & _IDX_MASK
-        sgn = (payload >> np.uint32(31)) == 1
-        valid = r_iota < row_len[None]
-        sgn = sgn & valid
-
-        if fused:
-            # `points` is the PACKED (n, D*L) matrix: two 16-bit limbs per
-            # u32 (see _slab_rows_jit) — halves the gather bytes, and the
-            # measured XLA row-gather rate at width D*L is ~3x the rate at
-            # width 2*D*L (47 vs 15 M rows/s on v5e)
-            P = D * L
-            rows = jnp.take(points, idx.reshape(-1), axis=0)
-            slab = jnp.moveaxis(rows.reshape(cap, wg, S, P), -1, 1)
-        else:
-            slab = jax.tree.map(
-                lambda a: jnp.take(a, idx, axis=-1), (points[0], points[1]))
+        P = D * L if fused else 0
+        slab, valid, sgn = _materialize(sorted_val, row_src, row_len, cap,
+                                        points, fused, P)
 
         zero = F.zeros((wg, S))
 

@@ -227,6 +227,64 @@ def test_tree_msm_g2_interpret_end_to_end(rng):
 
 
 @pytest.mark.slow
+def test_slab_msm_interpret_end_to_end(rng):
+    """Fused SLAB pipeline forced (mode="slab") under the Pallas
+    interpreter: packed two-limbs-per-u32 gather, in-loop unpack, replica
+    fold and ghost rows all on the production path (msm/slab.py), vs the
+    exact oracle — incl. the adversarial all-equal-scalar distribution
+    that concentrates every point into ONE bucket (the slab's replica-row
+    spill case)."""
+    from sppark_tpu.msm.pippenger import MSMContext
+    from sppark_tpu.oracle.msm import msm_naive
+    from test_msm import make_inputs
+
+    n = 48
+    points, scalars = make_inputs(CURVE, n, rng)
+    scalars[5] = scalars[6] = scalars[7]            # duplicate buckets
+    ctx = MSMContext(CURVE, n, wbits=6, mode="slab")
+    got = ctx.invoke(scalars, points=points)
+    want = msm_naive(get_curve(CURVE), points, scalars)
+    assert (got.x, got.y, got.inf) == (want.x, want.y, want.inf)
+
+    # all-equal scalars: every point lands in one bucket per window
+    eq = [scalars[0]] * n
+    got_eq = ctx.invoke(eq, points=points)
+    want_eq = msm_naive(get_curve(CURVE), points, eq)
+    assert (got_eq.x, got_eq.y, got_eq.inf) == \
+        (want_eq.x, want_eq.y, want_eq.inf)
+
+
+@pytest.mark.slow
+def test_slab_msm_g2_interpret_end_to_end(rng):
+    """Fused G2 slab MSM forced (mode="slab"): exercises the G2 leaf
+    order of the packed gather (px0, px1, py0, py1 — msm/slab.py
+    round_body) and the fp2 replica fold, vs the exact oracle."""
+    from sppark_tpu.msm.pippenger import MSMContext
+    from sppark_tpu.oracle.msm import msm_naive
+    from sppark_tpu.oracle.ec import AffinePoint
+
+    g2 = "test_bm64_g2"
+    curve = get_curve(g2)
+    o = get_oracle(curve)
+    base = [o.random_point(rng) for _ in range(4)]
+    n = 16
+    points = [base[i % 4] for i in range(n)]
+    points[3] = AffinePoint((0, 0), (0, 0), True)
+    scalars = [rng.randrange(curve.scalar.modulus) for _ in range(n)]
+    scalars[0] = 0
+    scalars[2] = curve.scalar.modulus - 1
+    ctx = MSMContext(g2, n, wbits=6, mode="slab")
+    got = ctx.invoke(scalars, points=points)
+    want = msm_naive(curve, points, scalars)
+    assert (got.x, got.y, got.inf) == (want.x, want.y, want.inf)
+
+    got_eq = ctx.invoke([scalars[2]] * n, points=points)
+    want_eq = msm_naive(curve, points, [scalars[2]] * n)
+    assert (got_eq.x, got_eq.y, got_eq.inf) == \
+        (want_eq.x, want_eq.y, want_eq.inf)
+
+
+@pytest.mark.slow
 def test_fused_madd_no_dbl_block(rng):
     """No doubling lane anywhere: the gated leg must not fire and results
     must still be exact."""
