@@ -77,6 +77,18 @@ def demont_scalar_words(F: BigMontField, words):
 # device pipeline
 # ---------------------------------------------------------------------------
 
+def _resolve_points(points):
+    """Accept a DevPtr, an integer DevPtr handle, oracle points, or a
+    device batch (the is_device_ptr dispatch of msm/pippenger.cuh:385-395,
+    582-601)."""
+    from ..runtime.dev_ptr import DevPtr
+    if isinstance(points, DevPtr):
+        return points.value
+    if isinstance(points, int):
+        return DevPtr.from_handle(points).value
+    return points
+
+
 class MSMContext:
     """Per-(curve, npoints) MSM engine (msm_t analogue, pippenger.cuh:325).
 
@@ -109,19 +121,28 @@ class MSMContext:
 
     # -- point residency ----------------------------------------------------
     def set_points(self, points):
-        """Upload a point batch once for reuse (device-resident points)."""
+        """Upload a point batch once for reuse (device-resident points).
+
+        Returns a `DevPtr` handle over the device-resident batch — the
+        gpu_ptr_t contract (util/gpu_t.cuh:269-318): clone/drop lifecycle,
+        opaque integer handle for FFI callers, and `invoke`/`set_points`
+        accept the handle (or the DevPtr) back in place of raw points
+        (the device-pointer invoke overloads, msm/pippenger.cuh:582-601)."""
+        from ..runtime.dev_ptr import DevPtr
+        points = _resolve_points(points)
         if isinstance(points, (list, tuple)) and points and \
                 hasattr(points[0], "x"):
             self._points_dev = self.ops.affine_from_ints(points)
         else:
             self._points_dev = points
-        return self._points_dev
+        return DevPtr(self._points_dev)
 
     # -- invocation ------------------------------------------------------------
     def invoke(self, scalars, points=None, mont: bool = False) -> AffinePoint:
         """Compute sum_i scalars[i] * points[i]; returns an oracle
         AffinePoint (exact ints)."""
         ops = self.ops
+        points = _resolve_points(points)
         if points is None:
             pts_dev = self._points_dev
             assert pts_dev is not None, "no points uploaded"

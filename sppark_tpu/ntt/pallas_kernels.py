@@ -312,19 +312,29 @@ def _rows_kernel(field_name: str, lg: int, rows_pb: int,
 
 @functools.lru_cache(maxsize=None)
 def _cols_kernel(field_name: str, lg: int, cols_pb: int,
-                 with_mul: bool = False):
+                 with_mul=False):
     """pallas_call: batched independent NTTs along axis -2 (columns).
 
     Input (.., n, M): every lane column is an independent length-n NTT in
     natural order; butterflies roll/slice across SUBLANES, so the kernel
     reads and writes plain contiguous blocks — the four-step's first
-    transpose disappears into the layout.  `with_mul` applies a same-shape
-    multiplier (the middle twiddle matrix) to the output in-kernel."""
+    transpose disappears into the layout.  `with_mul` applies the middle
+    twiddle matrix to the output in-kernel:
+
+      * True      — a materialized same-shape (n, M) table (narrow fields;
+        one mul per element, O(n) device memory);
+      * "factored" — T[k1, j0+t] = A[k1, j0/cols_pb] * B[k1, t] from two
+        O(sqrt n)-sized tables (wide fields; two muls per element, no O(n)
+        table — the role of the reference's windowed twiddle
+        reconstruction, parameters.cuh:86-145).  A's per-block column is
+        selected in-kernel via a one-hot lane reduction (Mosaic has no
+        lane-indexed gather)."""
     F = get_jax_field(field_name)
     ops = _RawOps(F)
     nl = 1 if F.n_limbs else 0
     n = 1 << lg
     limb = (F.n_limbs,) if nl else ()
+    factored = with_mul == "factored"
 
     def kernel(x_ref, tw_ref, *rest):
         out_ref = rest[-1]
@@ -334,10 +344,28 @@ def _cols_kernel(field_name: str, lg: int, cols_pb: int,
             y = ops.mul(y, rest[0][:])
         out_ref[:] = y
 
+    def kernel_factored(x_ref, tw_ref, a_ref, b_ref, out_ref, *, grid_dims):
+        x = _bitrev_axis(ops, x_ref[:], lg, axis=-2)
+        y = _stages_roll(ops, x, lg, tw_ref[:], axis=-2)
+        # block index along the column axis = last grid dim
+        j = pl.program_id(grid_dims - 1)
+        a = a_ref[:]                            # (limb?, n, AW) AW<=128
+        AW = a.shape[-1]
+        lane = jax.lax.broadcasted_iota(jnp.uint32, a.shape[nl:], 1)
+        pick = lane == (j % AW).astype(jnp.uint32)
+        a_sel = jnp.sum(jnp.where(pick, a, jnp.zeros_like(a)), axis=-1,
+                        keepdims=True)          # one-hot lane reduce
+        y = ops.mul(y, a_sel)
+        y = ops.mul(y, b_ref[:])
+        out_ref[:] = y
+
     def call(x, tw, mul=None):
         """x: (limb?, B?, n, M) — an optional leading batch dim B (the
-        recursive six-step's outer k1 axis) becomes a second grid dim."""
+        recursive six-step's outer k1 axis) becomes a second grid dim.
+        With factored mul, `mul` is the (A, B) table pair."""
         M = x.shape[-1]
+        nblocks = M // cols_pb
+        aw = min(nblocks, 128)
         batched = x.ndim > nl + 2
         if batched:
             B = x.shape[nl]
@@ -351,6 +379,10 @@ def _cols_kernel(field_name: str, lg: int, cols_pb: int,
             mul_blk = limb + (n, cols_pb)      # mid table has no batch dim
             mul_idx = ((lambda b, j: (0, 0, j)) if nl
                        else (lambda b, j: (0, j)))
+            a_blk = limb + (n, aw)
+            a_idx = ((lambda b, j: (0, 0, j // aw)) if nl
+                     else (lambda b, j: (0, j // aw)))
+            b_idx = tw_idx
         else:
             grid = (M // cols_pb,)
             blk = limb + (n, cols_pb)
@@ -358,17 +390,31 @@ def _cols_kernel(field_name: str, lg: int, cols_pb: int,
             tw_blk = limb + (max(lg, 1), n)
             tw_idx = (lambda i: (0, 0, 0)) if nl else (lambda i: (0, 0))
             mul_blk, mul_idx = blk, idx
+            a_blk = limb + (n, aw)
+            a_idx = ((lambda i: (0, 0, i // aw)) if nl
+                     else (lambda i: (0, i // aw)))
+            b_idx = tw_idx
         in_specs = [
             pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM),
             pl.BlockSpec(tw_blk, tw_idx, memory_space=pltpu.VMEM),
         ]
         args = [x, tw]
-        if with_mul:
-            in_specs.append(pl.BlockSpec(mul_blk, mul_idx,
+        if factored:
+            amat, bmat = mul
+            in_specs.append(pl.BlockSpec(a_blk, a_idx,
                                          memory_space=pltpu.VMEM))
-            args.append(mul)
+            in_specs.append(pl.BlockSpec(limb + (n, cols_pb), b_idx,
+                                         memory_space=pltpu.VMEM))
+            args += [amat, bmat]
+            body = functools.partial(kernel_factored, grid_dims=len(grid))
+        else:
+            if with_mul:
+                in_specs.append(pl.BlockSpec(mul_blk, mul_idx,
+                                             memory_space=pltpu.VMEM))
+                args.append(mul)
+            body = kernel
         return pl.pallas_call(
-            kernel,
+            body,
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM),
@@ -429,12 +475,10 @@ def _apply_rows(field_name: str, x, lg: int, table, mul=None,
     return fn(x, table, mul)
 
 
-def _apply_cols(field_name: str, x, lg: int, table, mul=None):
-    """Column NTTs (axis -2) over (.., n, M) in ~2 MiB lane-group blocks.
-    Leading batch dims (recursive six-step) collapse into one grid dim."""
+def _mid_cols_pb(field_name: str, lg: int, M: int) -> int:
+    """Column-block width used by _apply_cols — exposed so table builders
+    (factored middle twiddles) can size A/B to the same block."""
     F = get_jax_field(field_name)
-    nl = 1 if F.n_limbs else 0
-    M = x.shape[-1]
     planes = max(F.n_limbs, 1)
     col_bytes = (1 << lg) * 4 * planes
     cols_pb = min(128, M, max(1, (1 << 21) // col_bytes))
@@ -445,7 +489,21 @@ def _apply_cols(field_name: str, x, lg: int, table, mul=None):
         # Wide fields land here (fat columns shrink the budgeted width);
         # a 128-lane block is the only legal sub-block, VMEM allowing.
         cols_pb = min(128, M)
-    fn = _cols_kernel(field_name, lg, cols_pb, with_mul=mul is not None)
+    return cols_pb
+
+
+def _apply_cols(field_name: str, x, lg: int, table, mul=None,
+                factored: bool = False):
+    """Column NTTs (axis -2) over (.., n, M) in ~2 MiB lane-group blocks.
+    Leading batch dims (recursive six-step) collapse into one grid dim.
+    With factored=True, `mul` is the (A, B) middle-twiddle factor pair."""
+    F = get_jax_field(field_name)
+    nl = 1 if F.n_limbs else 0
+    M = x.shape[-1]
+    cols_pb = _mid_cols_pb(field_name, lg, M)
+    fn = _cols_kernel(field_name, lg, cols_pb,
+                      with_mul="factored" if factored
+                      else mul is not None)
     if x.ndim > nl + 3:                  # collapse multi-level batch dims
         shape = x.shape
         xf = x.reshape(shape[:nl] + (-1,) + shape[-2:])
@@ -509,7 +567,8 @@ def _fused_core(field_name: str, x, lg: int, inverse: bool, tables,
     # explicit transpose pass (its in-VMEM transposed write already spent
     # on the inner split).
     a = x.reshape(x.shape[:-1] + (n1, n2))
-    c = _apply_cols(field_name, a, lg1, t1, mul=tmid)     # (.., k1, i2)
+    c = _apply_cols(field_name, a, lg1, t1, mul=tmid,
+                    factored=isinstance(tmid, tuple))     # (.., k1, i2)
     if lg2 <= _tile_cap(field_name):
         t2 = tables[2]
         outt = _apply_rows(field_name, c, lg2, t2, out_t=True)  # (.., k2, k1)
@@ -551,14 +610,27 @@ def _split_lg1(lg: int, field_name: str = "") -> int:
 def _scaled_mid(field_name: str, lg: int):
     """Middle twiddle matrix with 1/N folded in — the inverse four-step's
     per-element scale costs nothing extra this way (the reference folds 1/n
-    into the last stage, ct_mixed_radix_narrow.cu:156-162)."""
+    into the last stage, ct_mixed_radix_narrow.cu:156-162).  For wide
+    fields the factored (A, B) pair is used and the scale folds into A."""
     params = get_field(field_name)
     F = get_jax_field(field_name)
     pm = get_parameters(field_name)
-    tmid = pm.middle_twiddle_matrix(lg, True,
-                                    _split_lg1(lg, field_name))
+    lg1 = _split_lg1(lg, field_name)
     scale = F.const(params.domain_size_inverse(lg), batch_shape=(1, 1))
+    if _is_wide(field_name):
+        A, B = _factored_mid(field_name, lg, True, lg1)
+        return (jax.jit(F.mul)(A, scale), B)
+    tmid = pm.middle_twiddle_matrix(lg, True, lg1)
     return jax.jit(F.mul)(tmid, scale)
+
+
+def _factored_mid(field_name: str, lg: int, inverse: bool, lg1: int):
+    """(A, B) factored middle twiddles sized to the column kernel's block
+    width (see _cols_kernel's factored path)."""
+    pm = get_parameters(field_name)
+    n2 = 1 << (lg - lg1)
+    block = _mid_cols_pb(field_name, lg1, n2)
+    return pm.middle_twiddle_factored(lg, inverse, lg1, block)
 
 
 def _fused_tables(field_name: str, lg: int, inverse: bool,
@@ -568,8 +640,14 @@ def _fused_tables(field_name: str, lg: int, inverse: bool,
         return (pm.staged_full_table(lg, inverse),)
     lg1 = _split_lg1(lg, field_name)
     lg2 = lg - lg1
-    mid = (_scaled_mid(field_name, lg) if (inverse and top)
-           else pm.middle_twiddle_matrix(lg, inverse, lg1))
+    if inverse and top:
+        mid = _scaled_mid(field_name, lg)
+    elif _is_wide(field_name):
+        # wide fields: O(sqrt n) factored pair instead of the O(n) matrix
+        # (a 256-bit field at lg 26 would need ~4 GB/direction otherwise)
+        mid = _factored_mid(field_name, lg, inverse, lg1)
+    else:
+        mid = pm.middle_twiddle_matrix(lg, inverse, lg1)
     head = (pm.staged_full_table(lg1, inverse), mid)
     if lg2 <= _tile_cap(field_name):
         return head + (pm.staged_full_table(lg2, inverse),)

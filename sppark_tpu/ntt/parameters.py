@@ -149,6 +149,46 @@ class NTTParameters:
             self._power_tables[key] = jax.jit(build)(base)
         return self._power_tables[key]
 
+    def middle_twiddle_factored(self, lg_domain: int, inverse: bool,
+                                lg1: int, block: int):
+        """O(sqrt(n))-memory factorization of the four-step middle matrix
+        (role of the reference's windowed reconstruction,
+        parameters.cuh:86-145, which keeps tables O(WINDOW_NUM*WINDOW_SIZE)
+        instead of O(n)):
+
+            T[k1, j0 + t] = w^(k1*(j0+t)) = A[k1, j0/block] * B[k1, t]
+
+        with A[k1, b] = w^(k1*b*block) of shape (.., N1, N2/block) and
+        B[k1, t] = w^(k1*t) of shape (.., N1, block).  The column kernel
+        multiplies both in-kernel (one extra mul per element) — at a
+        256-bit field and lg 26 this replaces a ~4 GB device table with
+        ~2 MB."""
+        key = ("midf", inverse, lg_domain, lg1, block)
+        if key not in self._power_tables:
+            root = (self.params.inv_root_of_unity(lg_domain) if inverse
+                    else self.params.root_of_unity(lg_domain))
+            n2 = 1 << (lg_domain - lg1)
+            assert n2 % block == 0
+            F = self.F
+
+            def rows_from(base_tf):
+                # rows by exponent doubling: rows [m, 2m) = rows [0, m) * P,
+                # P_{2m} = P_m^2 (same scheme as middle_twiddle_matrix)
+                def build(tf):
+                    T = F.ones((1, tf.shape[-1]))
+                    Pv = tf[..., None, :]
+                    for _ in range(lg1):
+                        T = jnp.concatenate([T, F.mul(T, Pv)], axis=-2)
+                        Pv = F.sqr(Pv)
+                    return T
+                return jax.jit(build)(base_tf)
+
+            A = rows_from(powers_of(self.F, pow(root, block, self.params.modulus),
+                                    n2 // block))
+            B = rows_from(powers_of(self.F, root, block))
+            self._power_tables[key] = (jax.device_put(A), jax.device_put(B))
+        return self._power_tables[key]
+
     def domain_size_inverse(self, lg_domain: int):
         return self.params.domain_size_inverse(lg_domain)
 

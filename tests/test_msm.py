@@ -82,6 +82,34 @@ def test_msm_context_reuse(rng):
     assert (got2.x, got2.y) == (want2.x, want2.y)
 
 
+def test_msm_devptr_points(rng):
+    """set_points returns a DevPtr (gpu_ptr_t contract) whose handle —
+    or the DevPtr itself — can be passed back as `points` to invoke, and
+    into a SECOND context (the resident-points reuse across msm_t
+    instances of pippenger.cuh:582-601); clone/drop manage lifetime."""
+    from sppark_tpu.runtime.dev_ptr import DevPtr
+
+    curve = get_curve(FAST_CURVE)
+    points, scalars = make_inputs(FAST_CURVE, 32, rng)
+    ctx = MSMContext(FAST_CURVE, len(points), wbits=_WBITS)
+    ptr = ctx.set_points(points)
+    assert isinstance(ptr, DevPtr)
+    want = msm_naive(curve, points, scalars)
+    got_ptr = ctx.invoke(scalars, points=ptr)
+    got_handle = ctx.invoke(scalars, points=ptr.handle)
+    assert (got_ptr.x, got_ptr.y) == (want.x, want.y)
+    assert (got_handle.x, got_handle.y) == (want.x, want.y)
+    ctx2 = MSMContext(FAST_CURVE, len(points), wbits=_WBITS)
+    got2 = ctx2.invoke(scalars, points=ptr.clone().handle)
+    assert (got2.x, got2.y) == (want.x, want.y)
+    ptr.drop()                       # clone's ref still live
+    got3 = ctx2.invoke(scalars, points=ptr.handle)
+    assert (got3.x, got3.y) == (want.x, want.y)
+    ptr.drop()
+    with pytest.raises(KeyError):
+        DevPtr.from_handle(ptr.handle)
+
+
 def test_msm_all_zero_scalars(rng):
     points, _ = make_inputs(FAST_CURVE, 16, rng)
     got = mult_pippenger(FAST_CURVE, points, [0] * 16, wbits=_WBITS)

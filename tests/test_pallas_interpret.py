@@ -176,3 +176,36 @@ def test_fused_recursive_six_step(rng, monkeypatch):
                 ontt.intt_natural(fp, ints), lg
     finally:
         _clear()
+
+
+def test_fused_wide_factored_mid(rng, monkeypatch):
+    """Wide-field four-step with the FACTORED middle twiddles
+    (T[k1, i2] = A[k1, blk] * B[k1, t], ntt/parameters.py:
+    middle_twiddle_factored — the O(sqrt n) replacement for the O(n)
+    matrix, role of parameters.cuh:86-145).  Caps patched down so the
+    wide four-step (and, at lg 7, the recursive six-step) is reachable
+    in interpret mode; inverse exercises the scale-folded A."""
+    from sppark_tpu.ntt import pallas_kernels as pk
+
+    def _clear():
+        for f in (pk._rows_kernel, pk._cols_kernel, pk._fused_fn,
+                  pk.fused_facade_fn, pk._scaled_mid):
+            f.cache_clear()
+
+    monkeypatch.setattr(pk, "LG_TILE_WIDE", 3)
+    monkeypatch.setattr(pk, "LG_COL_CAP_WIDE", 2)
+    _clear()
+    try:
+        fp = params.TEST_BM64_FR
+        F = get_jax_field(fp)
+        for lg in (5, 7):
+            n = 1 << lg
+            ints = [rng.randrange(fp.modulus) for _ in range(n)]
+            dev = F.from_int_list(ints)
+            assert F.to_int_list(ntt_fused(fp.name, dev, lg)) == \
+                ontt.ntt_natural(fp, ints), lg
+            assert F.to_int_list(
+                ntt_fused(fp.name, dev, lg, inverse=True)) == \
+                ontt.intt_natural(fp, ints), lg
+    finally:
+        _clear()
