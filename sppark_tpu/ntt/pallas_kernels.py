@@ -150,9 +150,13 @@ def _bitrev_axis(ops: _RawOps, x, lg: int, axis: int = -1):
 # multiply then runs on HALF the elements (the lo half's product in the
 # roll form is dead work) and the roll/select pair disappears.
 _SPLIT_GRANULE = {-1: 128, -2: 8}
-# 16 keeps Mosaic compile time sane; 64 halves the small-h twiddle muls but
-# was measured to push the remote compile beyond 20 minutes at lg 24
+# per-axis block caps: 16 keeps Mosaic compile sane on BOTH axes — 64 was
+# measured beyond 20 minutes of remote compile at lg 24 on lanes (r3) AND
+# on sublanes (r5 preflight: the column kernel at lg1=11 with
+# SUB_BLOCKS=64 did not finish compiling in 28 minutes; the halved
+# twiddle-mul work is not worth an uncacheable compile)
 _SPLIT_MAX_BLOCKS = 16
+_SPLIT_MAX_BLOCKS_SUB = 16
 
 
 def _stages_roll(ops: _RawOps, x, lg: int, table, axis: int = -1):
@@ -174,10 +178,11 @@ def _stages_roll(ops: _RawOps, x, lg: int, table, axis: int = -1):
         s = w[..., a:b]
         return s if axis == -1 else jnp.expand_dims(s, -1)
 
+    max_blocks = _SPLIT_MAX_BLOCKS if axis == -1 else _SPLIT_MAX_BLOCKS_SUB
     for s in range(1, lg + 1):
         h = 1 << (s - 1)
         w = table[..., s - 1, :]                    # (.., n)
-        if h >= granule and n // (2 * h) <= _SPLIT_MAX_BLOCKS:
+        if h >= granule and n // (2 * h) <= max_blocks:
             # sliced-half butterflies: block [a, a+2h) splits into lo/hi
             pieces = []
             for a in range(0, n, 2 * h):

@@ -110,8 +110,12 @@ def div_by_x_minus_z(field, coeffs, z, rotate: bool = False):
 # evaluate (polynomial/evaluate.cuh)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def _evaluate_dev(field_name: str, coeffs, xs):
+# per-pass live-element budget for evaluate (n * B); the reference bounds
+# this the same way with its N-points-per-pass template (evaluate.cuh:330)
+_EVAL_PASS_ELEMS = 1 << 22
+
+
+def _evaluate_batched(field_name: str, coeffs, xs):
     """p(x_i) for a batch of points: per-point powers ladder via an
     associative mul-scan (the powers-of-x grid scan, evaluate.cuh) and a
     log-tree dot reduction (per-warp redux, evaluate.cuh:32-47)."""
@@ -150,7 +154,32 @@ def _evaluate_dev(field_name: str, coeffs, xs):
                 size = half
         return acc[..., 0]
 
-    return jax.vmap(one_point, in_axes=-1, out_axes=-1)(xs)
+    # bound live memory to O(n * B) by processing B points per pass (the
+    # reference batches N points per pass for exactly this reason,
+    # evaluate.cuh:330-333): vmapping ALL points at once materializes the
+    # full O(n * npts) powers ladder
+    B = max(1, min(npts, _EVAL_PASS_ELEMS // max(n, 1)))
+    if B >= npts:
+        return jax.vmap(one_point, in_axes=-1, out_axes=-1)(xs)
+    nb = -(-npts // B)
+    pad = nb * B - npts
+    xs_p = jnp.pad(xs, ((0, 0),) * (xs.ndim - 1) + ((0, pad),),
+                   mode="edge") if pad else xs
+    xs_b = jnp.moveaxis(
+        xs_p.reshape(xs_p.shape[:-1] + (nb, B)), -2, 0)   # (nb, limb?, B)
+    out_b = jax.lax.map(
+        jax.vmap(one_point, in_axes=-1, out_axes=-1), xs_b)
+    if F.n_limbs:
+        out = jnp.moveaxis(out_b, 0, -2)       # (limb, nb, B)
+        out = out.reshape(out.shape[:-2] + (nb * B,))
+    else:
+        out = out_b.reshape((nb * B,))
+    return out[..., :npts]
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _evaluate_dev(field_name: str, coeffs, xs):
+    return _evaluate_batched(field_name, coeffs, xs)
 
 
 def evaluate(field, coeffs, xs):

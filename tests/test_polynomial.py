@@ -85,6 +85,32 @@ def test_evaluate(field, rng):
         assert got[i] == want, f"point {i}"
 
 
+@pytest.mark.parametrize("field", ["baby_bear", "goldilocks"])
+def test_evaluate_batched_passes(field, rng, monkeypatch):
+    """The bounded-memory multi-pass path (B points per pass, the role of
+    the reference's N-per-pass batching, evaluate.cuh:330-333) must agree
+    with Horner — driven by shrinking the per-pass element budget so
+    small shapes take the lax.map branch (incl. the edge-padded tail)."""
+    from sppark_tpu.polynomial import core as pcore
+
+    params = get_field(field)
+    p = params.modulus
+    F = get_jax_field(field)
+    n, npts = 16, 11                  # budget 64 -> B=4, nb=3, pad=1
+    coeffs = rand_coeffs(field, n, rng)
+    xs = [rng.randrange(p) for _ in range(npts)]
+    dev_c = F.from_int_list(coeffs, batch_shape=(n,))
+    dev_x = F.from_int_list(xs, batch_shape=(npts,))
+
+    monkeypatch.setattr(pcore, "_EVAL_PASS_ELEMS", 64)
+    got = F.to_int_list(pcore._evaluate_batched(field, dev_c, dev_x))
+    for i, x in enumerate(xs):
+        want = 0
+        for c in reversed(coeffs):
+            want = (want * x + c) % p
+        assert got[i] == want, f"point {i}"
+
+
 def test_prefix_bad_op():
     F = get_jax_field("baby_bear")
     from sppark_tpu.polynomial import prefix_op
