@@ -317,29 +317,19 @@ def _rows_kernel(field_name: str, lg: int, rows_pb: int,
 
 @functools.lru_cache(maxsize=None)
 def _cols_kernel(field_name: str, lg: int, cols_pb: int,
-                 with_mul=False):
+                 with_mul: bool = False):
     """pallas_call: batched independent NTTs along axis -2 (columns).
 
     Input (.., n, M): every lane column is an independent length-n NTT in
     natural order; butterflies roll/slice across SUBLANES, so the kernel
     reads and writes plain contiguous blocks — the four-step's first
-    transpose disappears into the layout.  `with_mul` applies the middle
-    twiddle matrix to the output in-kernel:
-
-      * True      — a materialized same-shape (n, M) table (narrow fields;
-        one mul per element, O(n) device memory);
-      * "factored" — T[k1, j0+t] = A[k1, j0/cols_pb] * B[k1, t] from two
-        O(sqrt n)-sized tables (wide fields; two muls per element, no O(n)
-        table — the role of the reference's windowed twiddle
-        reconstruction, parameters.cuh:86-145).  A's per-block column is
-        selected in-kernel via a one-hot lane reduction (Mosaic has no
-        lane-indexed gather)."""
+    transpose disappears into the layout.  `with_mul` applies a same-shape
+    multiplier (the middle twiddle matrix) to the output in-kernel."""
     F = get_jax_field(field_name)
     ops = _RawOps(F)
     nl = 1 if F.n_limbs else 0
     n = 1 << lg
     limb = (F.n_limbs,) if nl else ()
-    factored = with_mul == "factored"
 
     def kernel(x_ref, tw_ref, *rest):
         out_ref = rest[-1]
@@ -349,28 +339,10 @@ def _cols_kernel(field_name: str, lg: int, cols_pb: int,
             y = ops.mul(y, rest[0][:])
         out_ref[:] = y
 
-    def kernel_factored(x_ref, tw_ref, a_ref, b_ref, out_ref, *, grid_dims):
-        x = _bitrev_axis(ops, x_ref[:], lg, axis=-2)
-        y = _stages_roll(ops, x, lg, tw_ref[:], axis=-2)
-        # block index along the column axis = last grid dim
-        j = pl.program_id(grid_dims - 1)
-        a = a_ref[:]                            # (limb?, n, AW) AW<=128
-        AW = a.shape[-1]
-        lane = jax.lax.broadcasted_iota(jnp.uint32, a.shape[nl:], 1)
-        pick = lane == (j % AW).astype(jnp.uint32)
-        a_sel = jnp.sum(jnp.where(pick, a, jnp.zeros_like(a)), axis=-1,
-                        keepdims=True)          # one-hot lane reduce
-        y = ops.mul(y, a_sel)
-        y = ops.mul(y, b_ref[:])
-        out_ref[:] = y
-
     def call(x, tw, mul=None):
         """x: (limb?, B?, n, M) — an optional leading batch dim B (the
-        recursive six-step's outer k1 axis) becomes a second grid dim.
-        With factored mul, `mul` is the (A, B) table pair."""
+        recursive six-step's outer k1 axis) becomes a second grid dim."""
         M = x.shape[-1]
-        nblocks = M // cols_pb
-        aw = min(nblocks, 128)
         batched = x.ndim > nl + 2
         if batched:
             B = x.shape[nl]
@@ -384,10 +356,6 @@ def _cols_kernel(field_name: str, lg: int, cols_pb: int,
             mul_blk = limb + (n, cols_pb)      # mid table has no batch dim
             mul_idx = ((lambda b, j: (0, 0, j)) if nl
                        else (lambda b, j: (0, j)))
-            a_blk = limb + (n, aw)
-            a_idx = ((lambda b, j: (0, 0, j // aw)) if nl
-                     else (lambda b, j: (0, j // aw)))
-            b_idx = tw_idx
         else:
             grid = (M // cols_pb,)
             blk = limb + (n, cols_pb)
@@ -395,31 +363,17 @@ def _cols_kernel(field_name: str, lg: int, cols_pb: int,
             tw_blk = limb + (max(lg, 1), n)
             tw_idx = (lambda i: (0, 0, 0)) if nl else (lambda i: (0, 0))
             mul_blk, mul_idx = blk, idx
-            a_blk = limb + (n, aw)
-            a_idx = ((lambda i: (0, 0, i // aw)) if nl
-                     else (lambda i: (0, i // aw)))
-            b_idx = tw_idx
         in_specs = [
             pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM),
             pl.BlockSpec(tw_blk, tw_idx, memory_space=pltpu.VMEM),
         ]
         args = [x, tw]
-        if factored:
-            amat, bmat = mul
-            in_specs.append(pl.BlockSpec(a_blk, a_idx,
+        if with_mul:
+            in_specs.append(pl.BlockSpec(mul_blk, mul_idx,
                                          memory_space=pltpu.VMEM))
-            in_specs.append(pl.BlockSpec(limb + (n, cols_pb), b_idx,
-                                         memory_space=pltpu.VMEM))
-            args += [amat, bmat]
-            body = functools.partial(kernel_factored, grid_dims=len(grid))
-        else:
-            if with_mul:
-                in_specs.append(pl.BlockSpec(mul_blk, mul_idx,
-                                             memory_space=pltpu.VMEM))
-                args.append(mul)
-            body = kernel
+            args.append(mul)
         return pl.pallas_call(
-            body,
+            kernel,
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM),
@@ -429,6 +383,93 @@ def _cols_kernel(field_name: str, lg: int, cols_pb: int,
         )(*args)
 
     return call
+
+
+@functools.lru_cache(maxsize=None)
+def _mid_factored_kernel(field_name: str, cols_pb: int, n1: int):
+    """Standalone factored middle-twiddle multiply (wide fields):
+
+        out[.., k1, j0 + t] = x[.., k1, j0 + t] * A[k1, j0/cols_pb] * B[k1, t]
+
+    Kept OUT of the butterfly kernel on purpose: inlining two more mont
+    muls per element pushed the wide column kernel past the Mosaic
+    graph-size cliff (r5 preflight: >35 min remote compile, vs minutes
+    for the butterfly kernel + this ~2-mul kernel separately).  The extra
+    HBM pass costs ~2 array read+writes — noise next to the wide
+    butterfly passes.  A's per-block column is selected via a one-hot
+    lane reduction (Mosaic has no lane-indexed gather)."""
+    F = get_jax_field(field_name)
+    ops = _RawOps(F)
+    nl = 1 if F.n_limbs else 0
+    limb = (F.n_limbs,) if nl else ()
+
+    def make_kernel(grid_dims):
+        def kernel(x_ref, a_ref, b_ref, out_ref):
+            j = pl.program_id(grid_dims - 1)
+            a = a_ref[:]                       # (limb?, n1, AW), AW <= 128
+            AW = a.shape[-1]
+            lane = jax.lax.broadcasted_iota(jnp.uint32, a.shape[nl:], 1)
+            pick = lane == (j % AW).astype(jnp.uint32)
+            a_sel = jnp.sum(jnp.where(pick, a, jnp.zeros_like(a)),
+                            axis=-1, keepdims=True)
+            out_ref[:] = ops.mul(ops.mul(x_ref[:], a_sel), b_ref[:])
+        return kernel
+
+    def call(x, amat, bmat):
+        M = x.shape[-1]
+        aw = amat.shape[-1] if amat.shape[-1] <= 128 else 128
+        batched = x.ndim > nl + 2
+        if batched:
+            B = x.shape[nl]
+            grid = (B, M // cols_pb)
+            blk = limb + (1, n1, cols_pb)
+            idx = ((lambda b, j: (0, b, 0, j)) if nl
+                   else (lambda b, j: (b, 0, j)))
+            a_blk = limb + (n1, aw)
+            a_idx = ((lambda b, j: (0, 0, j // aw)) if nl
+                     else (lambda b, j: (0, j // aw)))
+            b_blk = limb + (n1, cols_pb)
+            b_idx = ((lambda b, j: (0, 0, 0)) if nl
+                     else (lambda b, j: (0, 0)))
+        else:
+            grid = (M // cols_pb,)
+            blk = limb + (n1, cols_pb)
+            idx = (lambda j: (0, 0, j)) if nl else (lambda j: (0, j))
+            a_blk = limb + (n1, aw)
+            a_idx = ((lambda j: (0, 0, j // aw)) if nl
+                     else (lambda j: (0, j // aw)))
+            b_blk = limb + (n1, cols_pb)
+            b_idx = (lambda j: (0, 0, 0)) if nl else (lambda j: (0, 0))
+        return pl.pallas_call(
+            make_kernel(len(grid)),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec(a_blk, a_idx, memory_space=pltpu.VMEM),
+                pl.BlockSpec(b_blk, b_idx, memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(blk, idx, memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            interpret=_interpret(),
+            compiler_params=_compiler_params(),
+        )(x, amat, bmat)
+
+    return call
+
+
+def _apply_mid_factored(field_name: str, x, lg1: int, mul_pair):
+    """Apply the factored middle twiddles to the column-pass output."""
+    F = get_jax_field(field_name)
+    nl = 1 if F.n_limbs else 0
+    amat, bmat = mul_pair
+    cols_pb = bmat.shape[-1]
+    n1 = 1 << lg1
+    fn = _mid_factored_kernel(field_name, cols_pb, n1)
+    if x.ndim > nl + 3:                  # collapse multi-level batch dims
+        shape = x.shape
+        xf = x.reshape(shape[:nl] + (-1,) + shape[-2:])
+        return fn(xf, amat, bmat).reshape(shape)
+    return fn(x, amat, bmat)
 
 
 def _pick_rows(field_name: str, lg: int) -> int:
@@ -461,20 +502,17 @@ def _apply_rows(field_name: str, x, lg: int, table, mul=None,
     while B % rows_pb:
         rows_pb -= 1
     if out_t and rows_pb != B and rows_pb % 128:
-        planes = max(F.n_limbs, 1)
-        blk_bytes = 128 * (1 << lg) * 4 * planes
-        # the kernel's per-128-column-tile transposed store keeps Mosaic
-        # compile sane at any block size that fits VMEM (in + out blocks
-        # <= ~2x32 MiB); beyond that fall back to an XLA transpose pass
-        if B % 128 == 0 and blk_bytes <= (32 << 20):
-            rows_pb = 128
-        else:
-            # tile too large to transpose in VMEM at 128-lane width:
-            # write natural and transpose in XLA (one extra HBM pass)
-            fn = _rows_kernel(field_name, lg, rows_pb,
-                              with_mul=mul is not None, out_t=False,
-                              in_rev=in_rev, out_rev=out_rev)
-            return jnp.swapaxes(fn(x, table, mul), -1, -2)
+        # ALWAYS write natural and transpose in XLA (one extra HBM pass,
+        # ~1 ms at 2^24).  The r4 per-128-column-tile transposed store
+        # (rows_pb bumped to 128) produced a Mosaic kernel whose remote
+        # compile hung >28 minutes at (128, 8192) — three independent
+        # reproductions this round, and the likely cause of BENCH_r04's
+        # rc=124: the driver recompiles from source, and this was the
+        # first kernel bench_ntt needs.
+        fn = _rows_kernel(field_name, lg, rows_pb,
+                          with_mul=mul is not None, out_t=False,
+                          in_rev=in_rev, out_rev=out_rev)
+        return jnp.swapaxes(fn(x, table, mul), -1, -2)
     fn = _rows_kernel(field_name, lg, rows_pb, with_mul=mul is not None,
                       out_t=out_t, in_rev=in_rev, out_rev=out_rev)
     return fn(x, table, mul)
@@ -497,18 +535,14 @@ def _mid_cols_pb(field_name: str, lg: int, M: int) -> int:
     return cols_pb
 
 
-def _apply_cols(field_name: str, x, lg: int, table, mul=None,
-                factored: bool = False):
+def _apply_cols(field_name: str, x, lg: int, table, mul=None):
     """Column NTTs (axis -2) over (.., n, M) in ~2 MiB lane-group blocks.
-    Leading batch dims (recursive six-step) collapse into one grid dim.
-    With factored=True, `mul` is the (A, B) middle-twiddle factor pair."""
+    Leading batch dims (recursive six-step) collapse into one grid dim."""
     F = get_jax_field(field_name)
     nl = 1 if F.n_limbs else 0
     M = x.shape[-1]
     cols_pb = _mid_cols_pb(field_name, lg, M)
-    fn = _cols_kernel(field_name, lg, cols_pb,
-                      with_mul="factored" if factored
-                      else mul is not None)
+    fn = _cols_kernel(field_name, lg, cols_pb, with_mul=mul is not None)
     if x.ndim > nl + 3:                  # collapse multi-level batch dims
         shape = x.shape
         xf = x.reshape(shape[:nl] + (-1,) + shape[-2:])
@@ -572,8 +606,13 @@ def _fused_core(field_name: str, x, lg: int, inverse: bool, tables,
     # explicit transpose pass (its in-VMEM transposed write already spent
     # on the inner split).
     a = x.reshape(x.shape[:-1] + (n1, n2))
-    c = _apply_cols(field_name, a, lg1, t1, mul=tmid,
-                    factored=isinstance(tmid, tuple))     # (.., k1, i2)
+    if isinstance(tmid, tuple):
+        # wide fields: factored mid applied as its own light kernel (see
+        # _mid_factored_kernel for why it is not inlined in the butterflies)
+        c = _apply_cols(field_name, a, lg1, t1)
+        c = _apply_mid_factored(field_name, c, lg1, tmid)
+    else:
+        c = _apply_cols(field_name, a, lg1, t1, mul=tmid)  # (.., k1, i2)
     if lg2 <= _tile_cap(field_name):
         t2 = tables[2]
         outt = _apply_rows(field_name, c, lg2, t2, out_t=True)  # (.., k2, k1)
