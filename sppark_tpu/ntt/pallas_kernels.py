@@ -410,8 +410,8 @@ def _mid_factored_kernel(field_name: str, cols_pb: int, n1: int):
             AW = a.shape[-1]
             lane = jax.lax.broadcasted_iota(jnp.uint32, a.shape[nl:], 1)
             pick = lane == (j % AW).astype(jnp.uint32)
-            a_sel = jnp.sum(jnp.where(pick, a, jnp.zeros_like(a)),
-                            axis=-1, keepdims=True)
+            ai = jnp.where(pick, a, jnp.zeros_like(a)).astype(jnp.int32)
+            a_sel = jnp.sum(ai, -1, keepdims=True).astype(a.dtype)
             out_ref[:] = ops.mul(ops.mul(x_ref[:], a_sel), b_ref[:])
         return kernel
 
