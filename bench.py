@@ -223,17 +223,22 @@ def bench_ntt_wide(backend, field="bls12_381_fr", lg=26):
     n = 1 << lg
     rng = np.random.default_rng(5)
     n32 = params.mont_bits // 32
-    wire = rng.integers(0, 1 << 32, size=(n, n32),
-                        dtype=np.uint64).astype(np.uint32)
-    wire[:, -1] %= np.uint32(params.modulus >> (32 * (n32 - 1)))
-    x = jax.device_put(F.from_wire_np(wire))
 
-    y = base_dev(field, x, lg)        # warm-up / compile
-    _fence(y)
+    def rand_dev(lg_d):
+        w = rng.integers(0, 1 << 32, size=(1 << lg_d, n32),
+                         dtype=np.uint64).astype(np.uint32)
+        w[:, -1] %= np.uint32(params.modulus >> (32 * (n32 - 1)))
+        return jax.device_put(F.from_wire_np(w))
 
-    # verified 1: full-size round-trip on chip
-    back = base_dev(field, y, lg, direction=Direction.inverse)
-    verified = bool(jnp.array_equal(back, x))
+    # verified 1: round-trip at lg-2 (same kernel family/recursion depth
+    # class, 1/4 the footprint — at lg 26 the full-size round-trip holds
+    # four 4 GB arrays + temps and exhausts HBM; the timed transform
+    # itself runs at lg with a DONATED input, see below)
+    xs_rt = rand_dev(lg - 2)
+    back = base_dev(field, base_dev(field, xs_rt, lg - 2), lg - 2,
+                    direction=Direction.inverse)
+    verified = bool(jnp.array_equal(back, xs_rt))
+    del xs_rt, back
     # verified 2: small-n oracle differential (same kernel family)
     import random as _r
     rr = _r.Random(4)
@@ -242,16 +247,18 @@ def bench_ntt_wide(backend, field="bls12_381_fr", lg=26):
     got_s = F.to_int_list(base_dev(field, F.from_int_list(ints), lg_s))
     verified = verified and (got_s == ontt.ntt_natural(params, ints))
 
+    # timed: forward at full lg with the input buffer DONATED so only the
+    # transform's own temporaries are live (~3 arrays at 2^26 = 12 GB)
+    fwd = jax.jit(lambda v: base_dev(field, v, lg), donate_argnums=0)
+    out = fwd(rand_dev(lg))           # warm-up / compile
+    _fence(out)
     reps = int(os.environ.get("SPPARK_BENCH_WIDE_REPS", 3))
     times = []
-    out = y
     for _ in range(reps):
-        z = out
         t0 = time.perf_counter()
-        z = base_dev(field, z, lg)
-        _fence(z)
+        out = fwd(out)
+        _fence(out)
         times.append(time.perf_counter() - t0)
-        out = z
     dt = min(times)
     rate = (n // 2) * lg / dt
     return {
@@ -471,7 +478,7 @@ def bench_msm_g2(backend, curve="bls12_381_g2", lg=16):
 class _Budget:
     def __init__(self):
         self.t0 = time.perf_counter()
-        self.total = float(os.environ.get("SPPARK_BENCH_BUDGET", 1500))
+        self.total = float(os.environ.get("SPPARK_BENCH_BUDGET", 2400))
 
     def remaining(self):
         return self.total - (time.perf_counter() - self.t0)
