@@ -478,7 +478,7 @@ def bench_msm_g2(backend, curve="bls12_381_g2", lg=16):
 class _Budget:
     def __init__(self):
         self.t0 = time.perf_counter()
-        self.total = float(os.environ.get("SPPARK_BENCH_BUDGET", 2400))
+        self.total = float(os.environ.get("SPPARK_BENCH_BUDGET", 3300))
 
     def remaining(self):
         return self.total - (time.perf_counter() - self.t0)
