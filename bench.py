@@ -510,18 +510,21 @@ def main():
                        lambda: bench_msm(backend, curve="bls12_381", lg=20,
                                          split_check=True)))
     if run_contract:
+        # contract configs (BASELINE.md 2-4) first, beyond-contract extras
+        # (G2, wide lg-26) after — a driver timeout sheds the extras, not
+        # the contract
         stages += [
             ("msm phase breakdown", 240,
              lambda: bench_msm_phases(backend)),
             ("lde config2", 240, lambda: bench_lde(backend)),
             ("pasta msm config3", 300,
              lambda: bench_msm(backend, curve="pallas", lg=20)),
+            ("bls12-381 msm config4", 600,
+             lambda: bench_msm(backend, curve="bls12_381", lg=24)),
             ("bls12-381 g2 msm 2^16", 420,
              lambda: bench_msm_g2(backend)),
             ("bls12_381_fr ntt 2^26", 420,
              lambda: bench_ntt_wide(backend)),
-            ("bls12-381 msm config4", 600,
-             lambda: bench_msm(backend, curve="bls12_381", lg=24)),
         ]
     for label, est, fn in stages:
         if budget.remaining() < est:
